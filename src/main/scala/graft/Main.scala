@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.eval.SpanF1
+import graft.fixtures.Fixtures
+import graft.pipeline.QualityFilter
+
+/** spark-submit entry point: generate/scan the corpus → score → scrub →
+  * write results + per-partition metrics, then report the F1 gate numbers
+  * against the planted gold labels.
+  *
+  * Usage: graft.Main [nRows] [outDir] [cores]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000L
+    val out = if (args.length > 1) args(1) else "/tmp/graft-out"
+    val cores = if (args.length > 2) args(2) else "8"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-quality-filter")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = Fixtures.generate(spark, n).repartition(cores.toInt * 4)
+    val results = QualityFilter.run(corpus)
+
+    results.write.mode("overwrite").parquet(s"$out/scan_results")
+    QualityFilter.partitionMetrics(
+      spark.read.parquet(s"$out/scan_results").as[graft.model.ScanResult](
+        org.apache.spark.sql.Encoders.product[graft.model.ScanResult]))
+      .write.mode("overwrite").parquet(s"$out/partition_metrics")
+
+    val persisted = spark.read.parquet(s"$out/scan_results")
+      .as[graft.model.ScanResult](org.apache.spark.sql.Encoders.product[graft.model.ScanResult])
+    QualityFilter.statistics(persisted).show(truncate = false)
+
+    val gold = Fixtures.generateGold(spark, n)
+    val span = SpanF1.spanScores(persisted, gold)
+    val keep = SpanF1.keepScores(persisted, gold)
+    val scrubBad = SpanF1.scrubMismatches(persisted, gold).count()
+    println(f"rows=$n span F1=${span.f1}%.4f (tp=${span.tp} fp=${span.fp} fn=${span.fn})")
+    println(f"keep F1=${keep.f1}%.4f (tp=${keep.tp} fp=${keep.fp} fn=${keep.fn})")
+    println(s"scrub mismatches=$scrubBad")
+    println(s"output: $out/scan_results")
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.{GoldRow, ScanResult}
+
+/** Span-level and decision-level F1 — the join-based Spark formulation of
+  * seqeval span matching (SURVEY.md J2/A5; reference run_benchmarking.py:
+  * 215-240): TP = inner join of predicted and gold span sets on the exact
+  * `(row key, start, end, type)`, FP/FN = the anti-join leftovers.
+  */
+object SpanF1 {
+
+  final case class Scores(tp: Long, fp: Long, fn: Long) {
+    def precision: Double = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    def recall: Double = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    def f1: Double =
+      if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+  }
+
+  private val Key = Seq("repo", "path", "commit")
+
+  /** Micro span F1 of predicted entities vs planted gold spans. */
+  def spanScores(results: Dataset[ScanResult], gold: Dataset[GoldRow]): Scores = {
+    val pred = results.toDF()
+      .select(col("repo"), col("path"), col("commit"), explode(col("entities")).as("e"))
+      .select(Key.map(col) :+ col("e.start").as("start") :+ col("e.end").as("end") :+
+        col("e.type").as("category"): _*)
+    val gld = gold.toDF()
+      .select(col("repo"), col("path"), col("commit"), explode(col("expectedSpans")).as("s"))
+      .select(Key.map(col) :+ col("s.start").as("start") :+ col("s.end").as("end") :+
+        col("s.category").as("category"): _*)
+    val on = Key ++ Seq("start", "end", "category")
+    val tp = pred.join(gld, on, "inner").count()
+    val fp = pred.join(gld, on, "left_anti").count()
+    val fn = gld.join(pred, on, "left_anti").count()
+    Scores(tp, fp, fn)
+  }
+
+  /** F1 of the keep/drop decision vs the gold labels (the north rule's
+    * "F1≥0.99 vs reference keep/drop labels"), keep=true as positive class.
+    */
+  def keepScores(results: Dataset[ScanResult], gold: Dataset[GoldRow]): Scores = {
+    val joined = results.toDF().select(Key.map(col) :+ col("keep"): _*)
+      .join(gold.toDF().select(Key.map(col) :+ col("expectedKeep"): _*), Key)
+    val agg = joined.agg(
+      sum(when(col("keep") && col("expectedKeep"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("keep") && !col("expectedKeep"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("keep") && col("expectedKeep"), 1L).otherwise(0L)).as("fn")
+    ).head()
+    Scores(agg.getLong(0), agg.getLong(1), agg.getLong(2))
+  }
+
+  /** Rows whose scrubbed content diverges from the expected scrubbed text
+    * (must be empty for non-error rows — the scrubbed-content contract).
+    */
+  def scrubMismatches(results: Dataset[ScanResult], gold: Dataset[GoldRow]): DataFrame =
+    results.toDF()
+      .select(Key.map(col) :+ col("scrubbedContent") :+ col("error"): _*)
+      .join(gold.toDF(), Key)
+      .filter(col("error").isNull && col("scrubbedContent") =!= col("expectedScrubbed"))
+}

@@ -1,0 +1,332 @@
+package graft.fixtures
+
+import java.util.SplittableRandom
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.{CodeFile, GoldRow, GoldSpan}
+
+/** Deterministic synthetic corpus generator (seed 42, matching the
+  * reference's RANDOM_SEED, reference src/data_preparation.py:34).
+  *
+  * Produces the mandated input shape `(repo, path, commit, lang, content)`
+  * (BASELINE.json input_hint) plus a sidecar gold table with planted PII
+  * spans (exact char offsets known by construction), the expected keep/drop
+  * decision, and the expected scrubbed content — the hermetic ground truth
+  * for the F1≥0.99 gate (FIXTURES.md §2).
+  *
+  * Every row is a pure function of its index: generation is
+  * `spark.range(n).mapPartitions(...)` with zero shuffles, so the corpus is
+  * byte-identical at any parallelism level — `sha256(content)` is a stable
+  * per-row invariant across `local[8]` / `local[32]` / a real cluster.
+  *
+  * Skew: ~30% of rows land in one planted mega-repo (`bigcorp/monorepo`) so
+  * salting/AQE skew handling is exercised, not just configured.
+  */
+object Fixtures {
+
+  val Seed: Long = 42L
+  val MegaRepo: String = "bigcorp/monorepo"
+
+  // Row-class buckets by (i mod 100): see FIXTURES.md §2.
+  //  0-73  clean keep rows (subset carries planted PII — scrubbed, still kept)
+  // 74-83  gibberish               → perplexity drop
+  // 84-91  quality violations      → heuristics drop
+  // 92-96  markdown/doc content    → langid allowlist drop
+  // 97-99  error rows (empty / whitespace / oversized) → per-row error, drop
+
+  private val KeepFrac = 74
+  private val GibberishTo = 84
+  private val QualityTo = 92
+  private val MarkdownTo = 97
+
+  private val CodeLangs = Vector("scala", "python", "java", "javascript")
+
+  private val Words = Vector(
+    "order", "widget", "report", "batch", "cache", "index", "value", "result",
+    "config", "handler", "record", "buffer", "stream", "filter", "mapper",
+    "ledger", "metric", "signal", "bucket", "cursor", "vector", "matrix",
+    "packet", "window", "router", "worker", "broker", "parser", "runner",
+    "loader", "writer", "reader", "merger", "scaler", "tracer", "probe"
+  )
+
+  private def word(rng: SplittableRandom): String =
+    Words(rng.nextInt(Words.length))
+  private def ident(rng: SplittableRandom): String =
+    word(rng) + word(rng).capitalize
+  private def lowerAlnum(rng: SplittableRandom, n: Int): String = {
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) { sb += chars.charAt(rng.nextInt(chars.length)); i += 1 }
+    sb.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // Content builder that records planted spans as it appends
+  // ---------------------------------------------------------------------
+  private final class Builder {
+    private val sb = new StringBuilder
+    private val spans = Vector.newBuilder[GoldSpan]
+    def plain(s: String): this.type = { sb.append(s); this }
+    def pii(s: String, category: String): this.type = {
+      val start = sb.length
+      sb.append(s)
+      spans += GoldSpan(start, sb.length, category)
+      this
+    }
+    def line(s: String): this.type = plain(s).plain("\n")
+    def result: (String, Vector[GoldSpan]) = (sb.result(), spans.result())
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-language line generators (keyword/punctuation shapes carry the
+  // langid signal; identifiers vary per row)
+  // ---------------------------------------------------------------------
+  private def codeLines(lang: String, rng: SplittableRandom, blocks: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    lang match {
+      case "scala" =>
+        out += s"package com.${word(rng)}.${word(rng)}"
+        out += "import scala.collection.mutable.ArrayBuffer"
+        out += s"object ${ident(rng).capitalize} {"
+        for (_ <- 0 until blocks) {
+          val a = ident(rng); val b = ident(rng); val k = rng.nextInt(90) + 1
+          out += s"  final case class ${a.capitalize}(id: Long, ${b}: String)"
+          out += s"  def ${a}Total(xs: Seq[Int]): Int = xs.foldLeft(0)(_ + _) + $k"
+          out += s"  val ${b}Defaults: Map[String, Int] = Map(${"\"" + word(rng) + "\""} -> $k)"
+          out += s"  private def validate${a.capitalize}(x: ${a.capitalize}): Boolean = x.id > 0"
+          out += s"  // ${word(rng)} ${word(rng)} helper for the ${word(rng)} stage"
+        }
+        out += "}"
+      case "python" =>
+        out += "import os"
+        out += "import json"
+        out += "from collections import defaultdict"
+        for (bi <- 0 until blocks) {
+          val a = word(rng); val b = word(rng); val k = rng.nextInt(90) + 1
+          out += s"def load_${a}_$bi(path):"
+          out += s"    with open(path, 'r', encoding='utf-8') as handle:  # $a"
+          out += s"        return [json.loads(line) for line in handle if line.strip()]  # $bi"
+          out += s"class ${a.capitalize}${b.capitalize}$bi:"
+          out += s"    def __init__(self, threshold=$k):"
+          out += s"        self.threshold = threshold  # $a $bi"
+          out += s"        self.counts = defaultdict(int)  # $b"
+          out += s"    # ${word(rng)} ${word(rng)} accumulator for the ${word(rng)} stage"
+        }
+      case "java" =>
+        out += s"package com.${word(rng)}.${word(rng)};"
+        out += "import java.util.ArrayList;"
+        out += "import java.util.HashMap;"
+        out += s"public final class ${ident(rng).capitalize} {"
+        for (bi <- 0 until blocks) {
+          val a = word(rng); val k = rng.nextInt(90) + 1
+          out += s"    private final Map<String, Integer> ${a}Stock$bi = new HashMap<>();"
+          out += s"    public synchronized void add${a.capitalize}$bi(String name, int quantity) {"
+          out += s"        if (quantity <= $bi) { // $a"
+          out += s"            throw new IllegalArgumentException(${"\"quantity must be positive\""} + $bi);"
+          out += s"        }"
+          out += s"        ${a}Stock$bi.merge(name, quantity + $k, Integer::sum);"
+          out += s"    }"
+          out += s"    // ${word(rng)} ${word(rng)} mutator for the ${word(rng)} stage"
+        }
+        out += "}"
+      case "javascript" =>
+        out += "'use strict';"
+        out += "const fs = require('fs');"
+        out += "const path = require('path');"
+        for (bi <- 0 until blocks) {
+          val a = word(rng); val k = rng.nextInt(90) + 1
+          out += s"function read${a.capitalize}$bi(dir) {"
+          out += s"  const file$bi = path.join(dir, '${word(rng)}.json');"
+          out += s"  if (!fs.existsSync(file$bi)) return { retries: $k, verbose: false };"
+          out += s"  return JSON.parse(fs.readFileSync(file$bi, 'utf8'));"
+          out += s"}"
+          out += s"const ${a}Handlers$bi = new Map();"
+          out += s"// ${word(rng)} ${word(rng)} dispatcher for the ${word(rng)} stage"
+        }
+      case other => throw new IllegalArgumentException(other)
+    }
+    out.result()
+  }
+
+  private def markdownLines(rng: SplittableRandom, blocks: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    out += s"# ${word(rng).capitalize} ${word(rng).capitalize} Overview"
+    out += ""
+    for (_ <- 0 until blocks) {
+      out += s"## ${word(rng).capitalize} ${word(rng)}"
+      out += ""
+      out += s"This document describes the ${word(rng)} and the main design decisions"
+      out += s"of the ${word(rng)} service, which provides a reliable platform for"
+      out += s"processing customer ${word(rng)} events at scale in production."
+      out += ""
+      out += s"- Install the required ${word(rng)} tools listed in the guide."
+      out += s"- Run the ${word(rng)} suite to make sure everything works."
+      out += ""
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // PII plants — each returns (builder-append action) so exact offsets are
+  // recorded; all forms are constructed to match graft.scrub.Scrubber's
+  // category regexes exactly and nothing else in the content does.
+  // ---------------------------------------------------------------------
+  private def plantPii(b: Builder, comment: String, rng: SplittableRandom, which: Int): Unit =
+    which match {
+      case 0 => // EMAIL
+        b.plain(s"$comment contact: ")
+          .pii(s"${lowerAlnum(rng, 5)}.${word(rng)}@example${rng.nextInt(9)}.com", "EMAIL")
+          .plain(" for details").plain("\n")
+      case 1 => // IPv4
+        b.plain(s"$comment upstream host ")
+          .pii(s"10.${rng.nextInt(256)}.${rng.nextInt(256)}.${rng.nextInt(255) + 1}", "IP_ADDRESS")
+          .plain(" (internal)").plain("\n")
+      case 2 => // IPv6
+        b.plain(s"$comment listen on ")
+          .pii(s"2001:db8::${Integer.toHexString(rng.nextInt(0xffff) + 1)}", "IP_ADDRESS")
+          .plain(" port 8080").plain("\n")
+      case 3 => // PHONE
+        b.plain(s"$comment oncall ")
+          .pii(f"+1-555-${rng.nextInt(1000)}%03d-${rng.nextInt(10000)}%04d", "PHONE")
+          .plain(" after hours").plain("\n")
+      case 4 => // SECRET token form
+        b.plain(s"$comment legacy key ")
+          .pii(s"sk_live_${lowerAlnum(rng, 16)}", "SECRET")
+          .plain(" do not use").plain("\n")
+      case _ => // SECRET assignment form (span = value only)
+        b.plain("API_KEY = \"")
+          .pii(lowerAlnum(rng, 20), "SECRET")
+          .plain("\"").plain("\n")
+    }
+
+  // ---------------------------------------------------------------------
+  // Row assembly
+  // ---------------------------------------------------------------------
+  private def mix(i: Long): Long = {
+    // splitmix64 over (Seed, i)
+    var z = Seed ^ (i * 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val PathExt = Map(
+    "scala" -> "scala", "python" -> "py", "java" -> "java",
+    "javascript" -> "js", "markdown" -> "md"
+  )
+
+  /** Pure per-index row function: (input row, gold row). */
+  def genRow(i: Long): (CodeFile, GoldRow) = {
+    val rng = new SplittableRandom(mix(i))
+    val bucket = (i % 100).toInt
+    val actualLang =
+      if (bucket >= QualityTo && bucket < MarkdownTo) "markdown"
+      else CodeLangs(rng.nextInt(CodeLangs.length))
+    // claimed lang is wrong ~10% of the time — langid must be computed, not trusted
+    val claimedLang =
+      if (rng.nextInt(10) == 0) CodeLangs(rng.nextInt(CodeLangs.length))
+      else actualLang
+    val repo =
+      if (rng.nextInt(100) < 30) MegaRepo
+      else s"org${rng.nextInt(40)}/repo${rng.nextInt(8)}"
+    val dir = Vector("src", "lib", "app", "core")(rng.nextInt(4))
+    val path = s"$dir/${word(rng)}/${word(rng)}_$i.${PathExt(actualLang)}"
+    val commit = graft.util.Hashing.sha256Hex(s"$repo/$path#$i").substring(0, 40)
+
+    val b = new Builder
+    var expectedKeep = true
+    var expectedError = false
+
+    if (bucket < KeepFrac) {
+      // clean code row, ~40% with planted PII
+      val blocks = rng.nextInt(4) + 2
+      val lines = codeLines(actualLang, rng, blocks)
+      val comment = if (actualLang == "python") "#" else "//"
+      val withPii = rng.nextInt(100) < 40
+      val nPii = if (withPii) rng.nextInt(3) + 1 else 0
+      // deterministic insertion: plants appended between line groups
+      val insertEvery = if (nPii > 0) math.max(1, lines.length / (nPii + 1)) else Int.MaxValue
+      var planted = 0
+      lines.zipWithIndex.foreach { case (l, li) =>
+        b.line(l)
+        if (planted < nPii && (li + 1) % insertEvery == 0) {
+          plantPii(b, comment, rng, rng.nextInt(6))
+          planted += 1
+        }
+      }
+      while (planted < nPii) { plantPii(b, comment, rng, rng.nextInt(6)); planted += 1 }
+    } else if (bucket < GibberishTo) {
+      // letter soup → high perplexity (alnum ratio stays fine; no PII chars)
+      val alphabet = "abcdefghijklmnopqrstuvwxyz qzxjvkw"
+      for (_ <- 0 until 40) {
+        val sb = new StringBuilder
+        for (_ <- 0 until 60) sb += alphabet.charAt(rng.nextInt(alphabet.length))
+        b.line(sb.result())
+      }
+      expectedKeep = false
+    } else if (bucket < QualityTo) {
+      val lines = codeLines(actualLang, rng, 2)
+      lines.foreach(b.line)
+      rng.nextInt(3) match {
+        case 0 => // pathological single line
+          b.line("x" * 3000)
+        case 1 => // heavy verbatim repetition
+          val rep = s"    ${word(rng)}Stock.merge(name, quantity, Integer::sum); // repeated"
+          for (_ <- 0 until 60) b.line(rep)
+        case _ => // punctuation soup → low alnum ratio
+          val punct = "+-*/{}[]()<>=!&|;,~^% "
+          for (_ <- 0 until 60) {
+            val sb = new StringBuilder
+            for (_ <- 0 until 70) sb += punct.charAt(rng.nextInt(punct.length))
+            b.line(sb.result())
+          }
+      }
+      expectedKeep = false
+    } else if (bucket < MarkdownTo) {
+      markdownLines(rng, rng.nextInt(3) + 2).foreach(b.line)
+      expectedKeep = false
+    } else {
+      // error rows: empty / whitespace-only / oversized
+      bucket match {
+        case 97 => // empty
+        case 98 => b.plain("   \n\t  \n")
+        case _ =>
+          val filler = "val x = 1 // padding line to exceed the maximum size\n"
+          val reps = graft.scrub.Scrubber.MaxChars / filler.length + 2
+          for (_ <- 0 until reps) b.plain(filler)
+      }
+      expectedKeep = false
+      expectedError = true
+    }
+
+    val (content, spans) = b.result
+    // expected scrubbed = desc-start splice over the planted spans
+    // (identical policy to the serving path, reference src/inference.py:325-332)
+    val scrubbed =
+      if (expectedError || spans.isEmpty) content
+      else {
+        var out = content
+        spans.sortBy(-_.start).foreach { sp =>
+          out = out.substring(0, sp.start) + "[REDACTED]" + out.substring(sp.end)
+        }
+        out
+      }
+
+    (
+      CodeFile(repo, path, commit, claimedLang, content),
+      GoldRow(repo, path, commit, expectedKeep, if (expectedError) Vector.empty else spans,
+        scrubbed, expectedError)
+    )
+  }
+
+  def generate(spark: SparkSession, n: Long): Dataset[CodeFile] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map(i => genRow(i)._1))
+  }
+
+  def generateGold(spark: SparkSession, n: Long): Dataset[GoldRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map(i => genRow(i)._2))
+  }
+}

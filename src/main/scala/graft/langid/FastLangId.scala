@@ -1,0 +1,90 @@
+package graft.langid
+
+/** fastText-style language identification over hashed character n-grams.
+  *
+  * Featurizer: character 2- and 3-grams of the (lowercased, length-capped)
+  * text, hashed into a 2^15-dim bag via a multiplicative string hash; L2
+  * normalized. Model: one profile vector per language, built from
+  * [[LangCorpus]] at init; prediction is the argmax of cosine similarity,
+  * confidence = best / sum(positive scores) — the deterministic analogue of
+  * the reference's softmax+argmax step (reference src/inference.py:243-246).
+  *
+  * The model object is a plain serializable case class so the pipeline can
+  * `sparkContext.broadcast` it once per executor (mirrors the reference's
+  * per-worker model copy, reference Makefile:97).
+  */
+object FastLangId {
+
+  val Dim: Int = 1 << 15
+  val MaxFeatureChars: Int = 4000
+
+  final case class Model(langs: Array[String], profiles: Array[Array[Float]])
+      extends Serializable
+
+  /** Hash one n-gram (chars [from, until) of `s`) into [0, Dim). */
+  private def hashNgram(s: CharSequence, from: Int, until: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= 0x01000193
+      i += 1
+    }
+    (h & 0x7fffffff) % Dim
+  }
+
+  /** Sparse hashed 2+3-gram term frequencies, L2-normalized. */
+  def features(text: String): Map[Int, Double] = {
+    val s = text.substring(0, math.min(text.length, MaxFeatureChars)).toLowerCase
+    val counts = new scala.collection.mutable.HashMap[Int, Double]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (i + 2 <= n) {
+        val k = hashNgram(s, i, i + 2)
+        counts.update(k, counts.getOrElse(k, 0.0) + 1.0)
+      }
+      if (i + 3 <= n) {
+        val k = hashNgram(s, i, i + 3)
+        counts.update(k, counts.getOrElse(k, 0.0) + 1.0)
+      }
+      i += 1
+    }
+    val norm = math.sqrt(counts.valuesIterator.map(v => v * v).sum)
+    if (norm == 0.0) Map.empty
+    else counts.iterator.map { case (k, v) => k -> v / norm }.toMap
+  }
+
+  /** Dense profile vector for a training corpus. */
+  private def profile(corpus: String): Array[Float] = {
+    val dense = new Array[Float](Dim)
+    features(corpus).foreach { case (k, v) => dense(k) = v.toFloat }
+    dense
+  }
+
+  lazy val model: Model = Model(
+    LangCorpus.Langs.toArray,
+    LangCorpus.Langs.map(l => profile(LangCorpus.corpus(l))).toArray
+  )
+
+  final case class Prediction(lang: String, confidence: Double)
+
+  def predict(text: String, m: Model): Prediction = {
+    val f = features(text)
+    if (f.isEmpty) return Prediction("unknown", 0.0)
+    var best = -1; var bestScore = 0.0; var sumPos = 0.0
+    var li = 0
+    while (li < m.langs.length) {
+      val p = m.profiles(li)
+      var score = 0.0
+      f.foreach { case (k, v) => score += v * p(k) }
+      if (score > 0) sumPos += score
+      if (score > bestScore) { bestScore = score; best = li }
+      li += 1
+    }
+    if (best < 0 || sumPos <= 0) Prediction("unknown", 0.0)
+    else Prediction(m.langs(best), bestScore / sumPos)
+  }
+
+  def predict(text: String): Prediction = predict(text, model)
+}

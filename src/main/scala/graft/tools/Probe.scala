@@ -1,0 +1,89 @@
+package graft.tools
+
+import graft.fixtures.Fixtures
+import graft.langid.FastLangId
+import graft.pipeline.QualityFilter
+import graft.ppl.NgramLM
+import graft.quality.Heuristics
+import graft.scrub.Scrubber
+
+/** Local calibration probe (no Spark): prints score distributions per fixture
+  * bucket so pipeline thresholds sit far from both sides. Not part of the
+  * engine — a development tool.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 2000
+    val rows = (0L until n.toLong).map(Fixtures.genRow)
+
+    def bucket(i: Long): String = (i % 100) match {
+      case b if b < 74 => "clean"
+      case b if b < 84 => "gibberish"
+      case b if b < 92 => "quality"
+      case b if b < 97 => "markdown"
+      case _           => "error"
+    }
+
+    val byBucket = rows.zipWithIndex.groupBy { case (_, i) => bucket(i.toLong) }
+    byBucket.toSeq.sortBy(_._1).foreach { case (b, rs) =>
+      val stats = rs.map { case ((cf, _), _) =>
+        val content = if (cf.content == null) "" else cf.content
+        val pred = FastLangId.predict(content)
+        val ppl = NgramLM.perplexity(content)
+        val q = Heuristics.stats(content)
+        (pred, ppl, q)
+      }
+      val ppls = stats.map(_._2).filter(_ < Double.MaxValue).sorted
+      val confs = stats.map(_._1.confidence).sorted
+      def pct(xs: Seq[Double], p: Double): Double =
+        if (xs.isEmpty) Double.NaN else xs(math.min(xs.size - 1, (p * xs.size).toInt))
+      println(f"$b%-10s n=${rs.size}%5d  ppl[min/p5/p50/p95/max]=${ppls.headOption.getOrElse(-1.0)}%8.2f ${pct(ppls, 0.05)}%8.2f ${pct(ppls, 0.5)}%8.2f ${pct(ppls, 0.95)}%8.2f ${ppls.lastOption.getOrElse(-1.0)}%8.2f" +
+        f"  conf[min/p5/p50]=${confs.headOption.getOrElse(-1.0)}%6.3f ${pct(confs, 0.05)}%6.3f ${pct(confs, 0.5)}%6.3f")
+      if (b == "clean" || b == "markdown") {
+        val langAcc = rs.count { case ((cf, _), _) =>
+          val ext = cf.path.substring(cf.path.lastIndexOf('.') + 1)
+          val actual = ext match {
+            case "scala" => "scala"; case "py" => "python"; case "java" => "java"
+            case "js" => "javascript"; case "md" => "markdown"; case _ => "?"
+          }
+          FastLangId.predict(cf.content).lang == actual
+        }
+        println(f"  langid accuracy: $langAcc/${rs.size}")
+      }
+    }
+
+    // end-to-end keep agreement with default config + scrub parity
+    var keepMismatch = 0; var scrubMismatch = 0; var spanMismatch = 0
+    rows.foreach { case (cf, gold) =>
+      val r = QualityFilter.analyze(cf, FastLangId.model, NgramLM.model, QualityFilter.Default)
+      if (r.keep != gold.expectedKeep) {
+        keepMismatch += 1
+        if (keepMismatch <= 5)
+          println(s"KEEP MISMATCH ${cf.path}: got=${r.keep} want=${gold.expectedKeep} " +
+            f"lang=${r.langIdLang}/${r.langIdConf}%.3f ppl=${r.perplexity}%.2f q=${r.quality}")
+      }
+      if (r.error == null && r.scrubbedContent != gold.expectedScrubbed) {
+        scrubMismatch += 1
+        if (scrubMismatch <= 3) {
+          println(s"SCRUB MISMATCH ${cf.path}")
+          println(s"  got : ${r.scrubbedContent.linesIterator.filter(_.contains("REDACTED")).take(3).mkString(" | ")}")
+          println(s"  want: ${gold.expectedScrubbed.linesIterator.filter(_.contains("REDACTED")).take(3).mkString(" | ")}")
+          val gotSpans = r.entities.map(e => (e.start, e.end, e.`type`))
+          val wantSpans = gold.expectedSpans.map(s => (s.start, s.end, s.category))
+          println(s"  gotSpans=${gotSpans} wantSpans=${wantSpans}")
+        }
+      }
+      val gotSpans = r.entities.map(e => (e.start, e.end, e.`type`)).toSet
+      val wantSpans = gold.expectedSpans.map(s => (s.start, s.end, s.category)).toSet
+      if (r.error == null && gotSpans != wantSpans) spanMismatch += 1
+    }
+    println(s"keepMismatch=$keepMismatch scrubMismatch=$scrubMismatch spanMismatch=$spanMismatch of $n")
+
+    // sanity: templates alone must contain zero accidental PII matches
+    Seq("scala", "python", "java", "javascript").foreach { l =>
+      val t = graft.langid.LangCorpus.corpus(l)
+      val spans = Scrubber.findSpans(t)
+      if (spans.nonEmpty) println(s"TEMPLATE LEAK in $l: $spans")
+    }
+  }
+}

@@ -1,0 +1,34 @@
+package graft.util
+
+import java.security.MessageDigest
+
+/** Small deterministic hashing helpers shared across modules. */
+object Hashing {
+
+  def sha256Hex(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.result()
+  }
+
+  /** 64-bit FNV-1a over a string — cheap, stable, JVM-independent. */
+  def fnv1a64(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 — used to derive independent hash functions from one seed. */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
