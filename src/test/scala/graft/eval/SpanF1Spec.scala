@@ -1,0 +1,63 @@
+package graft.eval
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model._
+
+/** Hand-built example pinning the join-based span-F1 arithmetic (J2/A5). */
+class SpanF1Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def res(path: String, entities: Seq[Entity], keep: Boolean) =
+    ScanResult("r", path, "c", "sha", "scala", "scala", 0.9, 5.0,
+      QualityStats(1, 10, 10.0, 0.5, 0.0), entities.nonEmpty,
+      entities.map(_.`type`).distinct.sorted, entities, "scrubbed", keep, null)
+
+  private def gld(path: String, spans: Seq[GoldSpan], keep: Boolean) =
+    GoldRow("r", path, "c", keep, spans, "scrubbed", expectedError = false)
+
+  test("span scores: tp/fp/fn counted on exact (key,start,end,type) match") {
+    val results = Seq(
+      res("a", Seq(Entity("x", "EMAIL", 0, 5, 1.0), Entity("y", "PHONE", 10, 20, 1.0)), keep = true),
+      res("b", Seq(Entity("z", "SECRET", 3, 9, 1.0)), keep = true), // FP: gold has none
+      res("c", Seq.empty, keep = true) // FN: gold has one
+    ).toDS()
+    val gold = Seq(
+      gld("a", Seq(GoldSpan(0, 5, "EMAIL"), GoldSpan(10, 20, "PHONE")), keep = true),
+      gld("b", Seq.empty, keep = true),
+      gld("c", Seq(GoldSpan(1, 2, "EMAIL")), keep = true)
+    ).toDS()
+    val s = SpanF1.spanScores(results, gold)
+    assert(s.tp == 2 && s.fp == 1 && s.fn == 1)
+    assert(math.abs(s.precision - 2.0 / 3) < 1e-9)
+    assert(math.abs(s.recall - 2.0 / 3) < 1e-9)
+  }
+
+  test("offset-shifted prediction is both FP and FN, not TP") {
+    val results = Seq(res("a", Seq(Entity("x", "EMAIL", 1, 6, 1.0)), keep = true)).toDS()
+    val gold = Seq(gld("a", Seq(GoldSpan(0, 5, "EMAIL")), keep = true)).toDS()
+    val s = SpanF1.spanScores(results, gold)
+    assert(s.tp == 0 && s.fp == 1 && s.fn == 1 && s.f1 == 0.0)
+  }
+
+  test("keep scores: confusion counts over the keep decision") {
+    val results = Seq(
+      res("a", Seq.empty, keep = true),  // tp
+      res("b", Seq.empty, keep = true),  // fp
+      res("c", Seq.empty, keep = false), // fn
+      res("d", Seq.empty, keep = false)  // tn
+    ).toDS()
+    val gold = Seq(
+      gld("a", Seq.empty, keep = true),
+      gld("b", Seq.empty, keep = false),
+      gld("c", Seq.empty, keep = true),
+      gld("d", Seq.empty, keep = false)
+    ).toDS()
+    val s = SpanF1.keepScores(results, gold)
+    assert(s.tp == 1 && s.fp == 1 && s.fn == 1)
+    assert(s.f1 == 0.5)
+  }
+}

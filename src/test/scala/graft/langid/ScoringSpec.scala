@@ -1,0 +1,67 @@
+package graft.langid
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ppl.NgramLM
+import graft.quality.Heuristics
+
+/** Unit specs for the deterministic scoring components: langid, perplexity,
+  * quality heuristics.
+  */
+class ScoringSpec extends AnyFunSuite {
+
+  test("langid predicts every prototype corpus as itself") {
+    LangCorpus.Langs.foreach { l =>
+      val p = FastLangId.predict(LangCorpus.corpus(l))
+      assert(p.lang == l, s"expected $l got ${p.lang} conf=${p.confidence}")
+      assert(p.confidence > 0.2 && p.confidence <= 1.0)
+    }
+  }
+
+  test("langid is stable under identifier renaming") {
+    val renamed = LangCorpus.scala.replace("Order", "Zephyr").replace("orders", "items")
+    assert(FastLangId.predict(renamed).lang == "scala")
+  }
+
+  test("langid on empty/garbage is unknown or low confidence") {
+    assert(FastLangId.predict("").lang == "unknown")
+  }
+
+  test("perplexity separates natural code from gibberish by a wide margin") {
+    val code = LangCorpus.python
+    val rng = new java.util.SplittableRandom(7)
+    val gibberish = (0 until 2000).map { _ =>
+      "abcdefghijklmnopqrstuvwxyz qzxjvkw".charAt(rng.nextInt(34))
+    }.mkString
+    val pplCode = NgramLM.perplexity(code)
+    val pplGib = NgramLM.perplexity(gibberish)
+    assert(pplCode < 20.0, s"code ppl $pplCode")
+    assert(pplGib > 45.0, s"gibberish ppl $pplGib")
+  }
+
+  test("perplexity of degenerate inputs is MaxValue") {
+    assert(NgramLM.perplexity(null) == Double.MaxValue)
+    assert(NgramLM.perplexity("ab") == Double.MaxValue)
+  }
+
+  test("heuristics: clean code passes, pathologies fail") {
+    val clean = LangCorpus.java
+    assert(Heuristics.passes(Heuristics.stats(clean)))
+    // one giant line
+    assert(!Heuristics.passes(Heuristics.stats(clean + "\n" + ("x" * 3000))))
+    // heavy verbatim repetition
+    val rep = clean + ("\n    int repeatedLineOfSubstance = 42;" * 80)
+    assert(!Heuristics.passes(Heuristics.stats(rep)))
+    // punctuation soup
+    val soup = clean + ("\n" + "+-*/{}[]()<>=!&|;,~^% " * 400)
+    assert(!Heuristics.passes(Heuristics.stats(soup)))
+  }
+
+  test("heuristics stats fields are well-formed") {
+    val q = Heuristics.stats("ab\ncdef\n\nghij")
+    assert(q.nLines == 4)
+    assert(q.maxLineLen == 4)
+    assert(q.alnumRatio > 0 && q.alnumRatio <= 1.0)
+    assert(q.dupLineFrac == 0.0)
+    assert(Heuristics.stats("").nLines == 0)
+  }
+}
