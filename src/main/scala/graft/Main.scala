@@ -4,40 +4,41 @@ import org.apache.spark.sql.SparkSession
 
 import graft.eval.SpanF1
 import graft.fixtures.Fixtures
-import graft.pipeline.QualityFilter
+import graft.io.TableIO
+import graft.pipeline.{Partitioning, QualityFilter}
 
-/** spark-submit entry point: generate/scan the corpus → score → scrub →
-  * write results + per-partition metrics, then report the F1 gate numbers
-  * against the planted gold labels.
+/** spark-submit entry point: scan the corpus → score → scrub → commit to the
+  * snapshot-logged table (resumable: rerunning after a kill picks up at the
+  * last committed snapshot) → report lineage metrics and the F1 gate vs the
+  * planted gold labels.
   *
-  * Usage: graft.Main [nRows] [outDir] [cores]
+  * Usage: graft.Main [nRows] [tableRoot] [cores]
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 10000L
-    val out = if (args.length > 1) args(1) else "/tmp/graft-out"
+    val root = if (args.length > 1) args(1) else "/tmp/graft-table"
     val cores = if (args.length > 2) args(2) else "8"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-quality-filter")
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Partitioning.applyAqe(spark)
 
-    val corpus = Fixtures.generate(spark, n).repartition(cores.toInt * 4)
-    val results = QualityFilter.run(corpus)
+    val corpus = Partitioning.balanced(Fixtures.generate(spark, n), cores.toInt * 4)
+    val snap = TableIO.runResumable(corpus, root, nBuckets = 64)
+    println(s"snapshot v${snap.version} (parent v${snap.parent}): " +
+      s"${snap.committedBuckets.size}/64 buckets committed")
+    println(s"lineage: scanned=${snap.metrics.map(_.filesScanned).sum} " +
+      s"kept=${snap.metrics.map(_.filesKept).sum} " +
+      s"scrubbed=${snap.metrics.map(_.filesScrubbed).sum} " +
+      s"errors=${snap.metrics.map(_.errors).sum}")
 
-    results.write.mode("overwrite").parquet(s"$out/scan_results")
-    QualityFilter.partitionMetrics(
-      spark.read.parquet(s"$out/scan_results").as[graft.model.ScanResult](
-        org.apache.spark.sql.Encoders.product[graft.model.ScanResult]))
-      .write.mode("overwrite").parquet(s"$out/partition_metrics")
-
-    val persisted = spark.read.parquet(s"$out/scan_results")
-      .as[graft.model.ScanResult](org.apache.spark.sql.Encoders.product[graft.model.ScanResult])
+    val persisted = TableIO.results(TableIO.readCommitted(spark, root))
     QualityFilter.statistics(persisted).show(truncate = false)
 
     val gold = Fixtures.generateGold(spark, n)
@@ -47,7 +48,7 @@ object Main {
     println(f"rows=$n span F1=${span.f1}%.4f (tp=${span.tp} fp=${span.fp} fn=${span.fn})")
     println(f"keep F1=${keep.f1}%.4f (tp=${keep.tp} fp=${keep.fp} fn=${keep.fn})")
     println(s"scrub mismatches=$scrubBad")
-    println(s"output: $out/scan_results")
+    println(s"table: $root (snapshots: ${TableIO.snapshots(spark, root).map(_.version).mkString(",")})")
     spark.stop()
   }
 }

@@ -1,0 +1,199 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{CodeFile, ScanResult}
+import graft.pipeline.QualityFilter
+
+/** Iceberg-shaped table IO over partitioned Parquet with an explicit JSON
+  * snapshot log — commit / snapshots / readAt semantics, so a real Iceberg
+  * catalog is a drop-in at deploy (the Iceberg runtime jar is not available
+  * offline; see SURVEY.md §7.5).
+  *
+  * Layout:
+  * {{{
+  *   root/data/bucket=<k>/part-*.parquet     (bucket = pmod(xxhash64(repo,path), nBuckets))
+  *   root/_snapshots/v<NNNNN>.json           (manifest: committed buckets + per-bucket metrics)
+  * }}}
+  *
+  * Semantics:
+  *  - a bucket's data is VISIBLE only once some snapshot lists it as
+  *    committed; partial files from a crashed run are invisible and are
+  *    replaced on reprocess (dynamic partition overwrite);
+  *  - a snapshot commit is an atomic rename of the manifest file;
+  *  - resume = anti-join of the bucket domain against the committed set —
+  *    the reference's checkpoint-resume analogue (reference
+  *    src/train.py:622-638, latest `checkpoint-*` by step);
+  *  - lineage: each snapshot records its parent version and per-bucket
+  *    metrics (files scanned / kept / scrubbed / errors).
+  */
+object TableIO {
+
+  final case class BucketMetrics(
+      bucket: Int, filesScanned: Long, filesKept: Long,
+      filesScrubbed: Long, errors: Long)
+
+  final case class Snapshot(
+      version: Int, parent: Int, committedBuckets: Set[Int],
+      metrics: Seq[BucketMetrics])
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapshotDir(root: String) = new Path(root, "_snapshots")
+  private def dataDir(root: String) = new Path(root, "data").toString
+
+  // ------------------------------------------------------------------
+  // Snapshot manifest read/write (hand-rolled JSON — no external libs)
+  // ------------------------------------------------------------------
+  private def render(s: Snapshot): String = {
+    val buckets = s.metrics.sortBy(_.bucket).map { m =>
+      s"""{"bucket":${m.bucket},"filesScanned":${m.filesScanned},"filesKept":${m.filesKept},"filesScrubbed":${m.filesScrubbed},"errors":${m.errors}}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":${s.version},"parent":${s.parent},"committedBuckets":${s.committedBuckets.toSeq.sorted.mkString("[", ",", "]")},"metrics":$buckets}"""
+  }
+
+  private def parse(json: String): Snapshot = {
+    def intField(name: String): Int =
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"bad snapshot: missing $name"))
+    val committed = s""""committedBuckets":\\[([0-9,]*)\\]""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val metricRe =
+      """\{"bucket":(\d+),"filesScanned":(\d+),"filesKept":(\d+),"filesScrubbed":(\d+),"errors":(\d+)\}""".r
+    val metrics = metricRe.findAllMatchIn(json).map { m =>
+      BucketMetrics(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong)
+    }.toSeq
+    Snapshot(
+      intField("version"), intField("parent"),
+      committed.split(",").filter(_.nonEmpty).map(_.toInt).toSet,
+      metrics)
+  }
+
+  def snapshots(spark: SparkSession, root: String): Seq[Snapshot] = {
+    val dir = snapshotDir(root)
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.matches("v\\d+\\.json"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = f.open(s.getPath)
+        try {
+          val bytes = new Array[Byte](s.getLen.toInt)
+          in.readFully(bytes)
+          parse(new String(bytes, "UTF-8"))
+        } finally in.close()
+      }
+  }
+
+  def lastSnapshot(spark: SparkSession, root: String): Option[Snapshot] =
+    snapshots(spark, root).lastOption
+
+  private def commitSnapshot(spark: SparkSession, root: String, s: Snapshot): Unit = {
+    val f = fs(spark, root)
+    val dir = snapshotDir(root)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, f".tmp-v${s.version}%05d.json")
+    val dst = new Path(dir, f"v${s.version}%05d.json")
+    val out = f.create(tmp, true)
+    try out.write(render(s).getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(s"snapshot commit failed: $dst")
+  }
+
+  // ------------------------------------------------------------------
+  // Resumable pipeline run
+  // ------------------------------------------------------------------
+  /** Deterministic bucket id for a row — pure function of (repo, path). */
+  def bucketCol(nBuckets: Int) =
+    pmod(xxhash64(col("repo"), col("path")), lit(nBuckets)).cast("int")
+
+  /** Run the quality-filter pipeline over `input`, committing results
+    * bucket-by-bucket; on re-invocation, already-committed buckets are
+    * skipped. `maxBucketsPerRun` caps how many uncommitted buckets this
+    * invocation processes (used by tests to simulate a killed run; prod
+    * passes Int.MaxValue).
+    *
+    * Returns the snapshot written by this run (or the last one if nothing
+    * was left to do).
+    */
+  def runResumable(
+      input: Dataset[CodeFile],
+      root: String,
+      nBuckets: Int = 64,
+      cfg: QualityFilter.Config = QualityFilter.Default,
+      maxBucketsPerRun: Int = Int.MaxValue
+  ): Snapshot = {
+    val spark = input.sparkSession
+    val prev = lastSnapshot(spark, root)
+    val done = prev.map(_.committedBuckets).getOrElse(Set.empty)
+    val todoAll = (0 until nBuckets).filterNot(done.contains)
+    val todo = todoAll.take(maxBucketsPerRun)
+    if (todo.isEmpty) return prev.getOrElse(Snapshot(0, -1, Set.empty, Seq.empty))
+
+    val withBucket = input.withColumn("bucket", bucketCol(nBuckets))
+    val subset = withBucket.filter(col("bucket").isin(todo: _*))
+      .drop("bucket")
+      .as[CodeFile](org.apache.spark.sql.Encoders.product[CodeFile])
+
+    val results = QualityFilter.run(subset, cfg)
+      .withColumn("bucket", bucketCol(nBuckets))
+
+    // dynamic partition overwrite: reprocessing a bucket atomically replaces
+    // any partial files a crashed run left behind
+    results.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(dataDir(root))
+
+    // per-bucket lineage metrics from the data just written
+    val m = spark.read.parquet(dataDir(root))
+      .filter(col("bucket").isin(todo: _*))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("filesScanned"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("filesKept"),
+        sum(when(col("hasPii"), 1L).otherwise(0L)).as("filesScrubbed"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"))
+      .collect()
+      .map(r => BucketMetrics(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSeq
+    // buckets that had no input rows still count as committed
+    val emptyBuckets = todo.filterNot(b => m.exists(_.bucket == b))
+      .map(b => BucketMetrics(b, 0, 0, 0, 0))
+
+    val snap = Snapshot(
+      version = prev.map(_.version + 1).getOrElse(1),
+      parent = prev.map(_.version).getOrElse(-1),
+      committedBuckets = done ++ todo,
+      metrics = prev.map(_.metrics).getOrElse(Seq.empty) ++ m ++ emptyBuckets)
+    commitSnapshot(spark, root, snap)
+    snap
+  }
+
+  /** Read the table as of the LAST committed snapshot: only committed
+    * buckets are visible.
+    */
+  def readCommitted(spark: SparkSession, root: String): DataFrame =
+    readAt(spark, root, lastSnapshot(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no snapshots at $root")).version)
+
+  /** Time travel: read the table as of a specific snapshot version. */
+  def readAt(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val snap = snapshots(spark, root).find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot v$version at $root"))
+    val committed = snap.committedBuckets.toSeq.sorted
+    val df = spark.read.parquet(dataDir(root))
+    if (committed.isEmpty) df.filter(lit(false))
+    else df.filter(col("bucket").isin(committed: _*))
+  }
+
+  def results(df: DataFrame): Dataset[ScanResult] =
+    df.drop("bucket").as[ScanResult](org.apache.spark.sql.Encoders.product[ScanResult])
+}

@@ -1,0 +1,97 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.fixtures.Fixtures
+import graft.pipeline.{Partitioning, QualityFilter}
+
+/** Snapshot-log commit/resume semantics (kill-and-rerun over Parquet +
+  * manifest) — the north rule's resumability requirement.
+  */
+class TableIOSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-table").toString
+
+  test("kill-and-rerun: partial run commits a prefix; rerun completes; table matches a clean run") {
+    val root = tmpRoot()
+    val input = Fixtures.generate(spark, 2000)
+
+    // run 1 "dies" after committing 5 of 16 buckets
+    val s1 = TableIO.runResumable(input, root, nBuckets = 16, maxBucketsPerRun = 5)
+    assert(s1.version == 1 && s1.committedBuckets.size == 5)
+    val visible1 = TableIO.readCommitted(spark, root).count()
+    assert(visible1 > 0 && visible1 < 2000)
+
+    // run 2 resumes: processes only the remaining 11 buckets
+    val s2 = TableIO.runResumable(input, root, nBuckets = 16)
+    assert(s2.version == 2 && s2.parent == 1)
+    assert(s2.committedBuckets == (0 until 16).toSet)
+
+    // full visibility and exact parity with a direct pipeline run
+    val committed = TableIO.readCommitted(spark, root)
+    assert(committed.count() == 2000)
+    val direct = QualityFilter.run(input)
+      .select("commit", "sha256", "keep", "scrubbedContent")
+    val viaTable = committed.select("commit", "sha256", "keep", "scrubbedContent")
+    assert(viaTable.exceptAll(direct).isEmpty && direct.exceptAll(viaTable).isEmpty)
+  }
+
+  test("idempotent rerun: nothing left to do returns last snapshot unchanged") {
+    val root = tmpRoot()
+    val input = Fixtures.generate(spark, 300)
+    val s1 = TableIO.runResumable(input, root, nBuckets = 4)
+    val s2 = TableIO.runResumable(input, root, nBuckets = 4)
+    assert(s2.version == s1.version)
+    assert(TableIO.readCommitted(spark, root).count() == 300)
+  }
+
+  test("time travel: readAt(v1) sees only the buckets committed in v1") {
+    val root = tmpRoot()
+    val input = Fixtures.generate(spark, 1000)
+    val s1 = TableIO.runResumable(input, root, nBuckets = 8, maxBucketsPerRun = 3)
+    TableIO.runResumable(input, root, nBuckets = 8)
+    val v1Rows = TableIO.readAt(spark, root, s1.version)
+    val v1Buckets = v1Rows.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(v1Buckets.subsetOf(s1.committedBuckets))
+    assert(v1Rows.count() < 1000)
+    assert(TableIO.readAt(spark, root, 2).count() == 1000)
+  }
+
+  test("snapshot lineage metrics sum to the table contents") {
+    val root = tmpRoot()
+    val input = Fixtures.generate(spark, 1200)
+    val snap = TableIO.runResumable(input, root, nBuckets = 8)
+    assert(snap.metrics.map(_.filesScanned).sum == 1200)
+    val kept = TableIO.readCommitted(spark, root).filter(col("keep")).count()
+    assert(snap.metrics.map(_.filesKept).sum == kept)
+  }
+
+  test("uncommitted data is invisible even if files exist on disk") {
+    val root = tmpRoot()
+    val input = Fixtures.generate(spark, 800)
+    TableIO.runResumable(input, root, nBuckets = 8, maxBucketsPerRun = 2)
+    // raw directory has only 2 buckets' files; committed view equals raw here,
+    // but a fresh root with zero snapshots must refuse to read
+    intercept[IllegalStateException] {
+      TableIO.readCommitted(spark, tmpRoot())
+    }
+  }
+
+  test("salted repo counts equal plain groupBy counts (skew-proof agg)") {
+    val df = Fixtures.generate(spark, 1500).toDF()
+    val plain = df.groupBy("repo").count()
+    val salted = Partitioning.repoCountsSalted(df, salts = 8)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // and the mega-repo is in fact heavy
+    val heavy = Partitioning.heavyRepos(df, 0.2)
+    assert(heavy.contains(Fixtures.MegaRepo))
+  }
+}
