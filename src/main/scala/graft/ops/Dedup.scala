@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Hashing
+
+/** Deduplication operators for web-scale corpora: exact (hash-groupBy),
+  * MinHash+LSH banding, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale shape: signatures are computed in ONE map pass per document (no
+  * k-fold explode), the only shuffles are the band-bucket groupBys whose
+  * keys are uniformly distributed by construction; candidate verification
+  * joins only within buckets — never a full cross join.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+  /** Groups of byte-identical texts: (textHash, keeperId = min id, dupCount). */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct view: keep the smallest id per identical text. */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keepers = exactDupGroups(df, textCol, idCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands // 4
+
+  /** Character shingles of the normalized text, hashed to longs. */
+  private def shingleHashes(text: String, shingleLen: Int): Array[Long] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length < shingleLen) {
+      if (norm.isEmpty) Array.empty[Long] else Array(Hashing.fnv1a64(norm))
+    } else {
+      val out = new scala.collection.mutable.HashSet[Long]()
+      var i = 0
+      while (i + shingleLen <= norm.length) {
+        out += Hashing.fnv1a64(norm.subSequence(i, i + shingleLen))
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** 64-component MinHash signature in one pass over the shingle set.
+    * Component j uses the permutation h_j(x) = splitmix64(x + j·φ).
+    */
+  def minhashSignature(text: String, shingleLen: Int = 7): Array[Long] = {
+    val shingles = shingleHashes(if (text == null) "" else text, shingleLen)
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val s = shingles(si)
+      var j = 0
+      while (j < NumHashes) {
+        val h = Hashing.splitmix64(s + j * 0x9e3779b97f4a7c15L)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  val minhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => minhashSignature(text))
+
+  /** Per-document LSH bucket rows: (id, band, bucket) — `Bands` rows per doc.
+    * Bucket key is the hash of the band's signature slice.
+    */
+  def lshBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withSig = df.select(col(idCol), minhashUdf(col(textCol)).as("sig"))
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(j => col("sig").getItem(j)): _*).as("bucket"))
+    }
+    withSig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Near-duplicate candidate pairs (a < b) from LSH band collisions. */
+  def candidatePairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val buckets = lshBuckets(df, textCol, idCol)
+    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Signature-estimated Jaccard for candidate pairs: fraction of equal
+    * MinHash components. One broadcast-friendly join back to signatures.
+    */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.7): DataFrame = {
+    val sigs = df.select(col(idCol), minhashUdf(col(textCol)).as("sig"))
+    val cands = candidatePairs(df, textCol, idCol)
+    val estJaccard = udf { (x: Seq[Long], y: Seq[Long]) =>
+      var eq = 0; var i = 0
+      while (i < x.length) { if (x(i) == y(i)) eq += 1; i += 1 }
+      eq.toDouble / x.length
+    }
+    cands
+      .join(sigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sigA"), Seq("a"))
+      .join(sigs.withColumnRenamed(idCol, "b").withColumnRenamed("sig", "sigB"), Seq("b"))
+      .withColumn("est_jaccard", estJaccard(col("sigA"), col("sigB")))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Exact character-shingle Jaccard between two texts (verification). */
+  def exactJaccard(a: String, b: String, shingleLen: Int = 7): Double = {
+    val sa = shingleHashes(a, shingleLen).toSet
+    val sb = shingleHashes(b, shingleLen).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+  /** 64-bit SimHash over whitespace tokens (weighted bit-vote). */
+  def simhash64(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = Hashing.fnv1a64(tok)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => simhash64(text))
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Hashing
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in bounded batches per partition (the
+  * Scala analogue of `mapInPandas` batch processing).
+  *
+  * The actual media DECODE is a clearly-marked deterministic STUB — codec
+  * libraries are not available in this container. Everything around it is
+  * real and tested: the schema, the batched partition iteration (bounded
+  * memory per batch), the feature/metadata shapes, and the partitioning.
+  * A real decoder (javacv / ffmpeg bindings) plugs into `stubDecode`.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte])
+
+  final case class MediaMeta(
+      media_id: Long, kind: String, width: Int, height: Int,
+      sampleRate: Int, nFrames: Int, byteLen: Int, payloadSha: String)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, features: Array[Double])
+
+  val BatchSize = 64 // bounded batch per partition, mapInPandas-style
+
+  /** Deterministic synthetic media corpus: payload = 16-byte header
+    * (magic, kind, width, height, sampleRate, nFrames) + pseudo-random body.
+    */
+  def synthesize(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val rng = new java.util.SplittableRandom(Hashing.splitmix64(i))
+      val kind = Vector("image", "audio", "video")((i % 3).toInt)
+      val width = 16 + rng.nextInt(64)
+      val height = 16 + rng.nextInt(64)
+      val sampleRate = if (kind == "audio") 8000 + rng.nextInt(8) * 1000 else 0
+      val nFrames = if (kind == "video") 1 + rng.nextInt(30) else 1
+      val bodyLen = 256 + rng.nextInt(1024)
+      val payload = new Array[Byte](16 + bodyLen)
+      payload(0) = 'G'; payload(1) = 'R'; payload(2) = 'F'
+      payload(3) = kind.head.toByte
+      payload(4) = (width >> 8).toByte; payload(5) = width.toByte
+      payload(6) = (height >> 8).toByte; payload(7) = height.toByte
+      payload(8) = (sampleRate >> 16).toByte
+      payload(9) = (sampleRate >> 8).toByte; payload(10) = sampleRate.toByte
+      payload(11) = nFrames.toByte
+      var j = 16
+      while (j < payload.length) { payload(j) = rng.nextInt(256).toByte; j += 1 }
+      MediaRow(i, kind, payload)
+    }
+  }
+
+  /** STUB decoder — deterministic header parse standing in for a real codec.
+    * Real implementation: hand `payload` to an image/audio/video library
+    * here; the surrounding batching/schema stays unchanged.
+    */
+  private def stubDecode(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    require(payload.length >= 16 && payload(0) == 'G', "bad media header")
+    val width = ((payload(4) & 0xff) << 8) | (payload(5) & 0xff)
+    val height = ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
+    val sampleRate = ((payload(8) & 0xff) << 16) | ((payload(9) & 0xff) << 8) | (payload(10) & 0xff)
+    val nFrames = payload(11) & 0xff
+    (width, height, sampleRate, nFrames)
+  }
+
+  /** Decode metadata in bounded batches per partition. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.map { m =>
+          val (w, h, sr, nf) = stubDecode(m.payload)
+          MediaMeta(m.media_id, m.kind, w, h, sr, nf, m.payload.length,
+            sha256Bytes(m.payload))
+        }
+      }
+    }
+  }
+
+  private def sha256Bytes(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    val sb = new StringBuilder(64)
+    d.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.result()
+  }
+
+  /** Feature extraction (stub): 8 deterministic byte-distribution moments of
+    * the body — the shape a real embedding/feature model would emit.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val body = m.payload.drop(16)
+          val hist = new Array[Long](8)
+          body.foreach(b => hist((b & 0xff) >> 5) += 1)
+          val total = math.max(1L, body.length.toLong)
+          MediaFeatures(m.media_id, m.kind, hist.map(_.toDouble / total))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling (stub): every `stride`-th 256-byte window is a "frame";
+    * emit (media_id, frame_no, frameHash) — the row-explosion shape of real
+    * video frame extraction.
+    */
+  def frameSample(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val body = m.payload.drop(16)
+      val frames = body.grouped(256).toVector
+      frames.indices.by(stride).map { fi =>
+        (m.media_id, fi, Hashing.fnv1a64(new String(frames(fi).map(b => (b & 0x7f).toChar))))
+      }
+    }.toDF("media_id", "frame_no", "frame_hash")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Hashing
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — queries are broadcast, the scan is
+  * one map-side pass over the corpus (BroadcastNestedLoopJoin), and the
+  * top-k cut is a per-query window. Scale path: random-hyperplane LSH —
+  * each vector gets a compact bit-signature bucket in one map pass, and
+  * search touches only the query's bucket (+ optional multi-probe), turning
+  * the O(N·Q) scan into a bucket-local join.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, as a pure Catalyst
+    * expression (zip_with + aggregate — stays codegen-friendly, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    // elements are float32; upcast BEFORE multiplying so the arithmetic is
+    // pure float64 (parity with reference implementations that work in f64)
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
+    * the k nearest corpus vectors. Deterministic tie-break on id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"
+  ): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol)) // a query is not its own neighbour
+      .withColumn("score", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("score"), 4).as("score"))
+  }
+
+  // ------------------------------------------------------------------
+  // Random-hyperplane LSH (signed projections)
+  // ------------------------------------------------------------------
+  /** Deterministic pseudo-random hyperplane component for (plane, dim). */
+  @inline private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = Hashing.splitmix64(plane.toLong * 1000003L + dim)
+    // map to [-1, 1)
+    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** One bucket id per LSH table: the sign pattern of the vector under that
+    * table's hyperplanes. Multi-table LSH (OR-amplification): a pair is a
+    * candidate if it collides in ANY of the `nTables` tables — the standard
+    * recall/cost dial (more tables → higher recall, more candidates).
+    */
+  def lshBucketIds(vec: Seq[Float], nTables: Int, planesPerTable: Int): Array[Long] = {
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = t * planesPerTable + p
+        var dot = 0.0
+        var d = 0
+        while (d < vec.length) { dot += vec(d) * planeComponent(plane, d); d += 1 }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = (t.toLong << 32) | sig // table id folded into the bucket key
+      t += 1
+    }
+    out
+  }
+
+  def lshBucketsUdf(nTables: Int, planesPerTable: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Long] else lshBucketIds(v, nTables, planesPerTable))
+
+  /** Bucketed ANN: candidates = bucket collisions in any table; rank by
+    * exact cosine over the (deduplicated) candidate set. The scan touches
+    * only colliding buckets — never a full cross join.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 8, planesPerTable: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"
+  ): DataFrame = {
+    val bUdf = lshBucketsUdf(nTables, planesPerTable)
+    val c = corpus.withColumn("bucket", explode(bUdf(col(vecCol))))
+    val q = queries.withColumn("bucket", explode(bUdf(col(qVecCol))))
+    val candidates = c.join(broadcast(q), Seq("bucket"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(idCol), col(vecCol), col(qIdCol), col(qVecCol))
+      .dropDuplicates(idCol, qIdCol)
+    val scored = candidates.withColumn("score", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.langid.FastLangId
+import graft.util.Hashing
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything that CAN be a Catalyst expression IS one (codegen'd, stays
+  * inside WholeStageCodegen, pushdown-friendly); only langid and the rolling
+  * fingerprint — genuinely algorithmic — are UDFs over broadcast weights.
+  */
+object TextOps {
+
+  /** Whitespace token count (empty/blank → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Fraction of characters that are ASCII alphanumeric (0 for empty). */
+  def alnumRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double") /
+        length(text))
+
+  /** Fraction of characters that are whitespace. */
+  def wsRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^ \\t\\n]", "")).cast("double") /
+        length(text))
+
+  /** Mean whitespace-token length — a cheap fluency signal. */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") /
+        tokenCount(text))
+
+  /** Normalized content fingerprint: md5 of lowercased,
+    * whitespace-collapsed text — exact-dup detection robust to formatting.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling-hash document fingerprint (polynomial rolling hash over
+    * the normalized text) — the compact integer form used for shard-local
+    * dedup joins. UDF (stateful scan over the string).
+    */
+  val rollingFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        var h = 1125899906842597L
+        var i = 0
+        var lastWs = false
+        val n = text.length
+        while (i < n) {
+          val c0 = text.charAt(i)
+          val isWs = Character.isWhitespace(c0)
+          if (!(isWs && lastWs)) {
+            val c = if (isWs) ' ' else Character.toLowerCase(c0)
+            h = 31 * h + c
+          }
+          lastWs = isWs
+          i += 1
+        }
+        h
+      }
+    }
+
+  /** Language-ID over an arbitrary text column (hashed n-gram profiles).
+    * Returns struct(lang, confidence). The model rides the closure —
+    * one copy per executor, like a broadcast.
+    */
+  def langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val model = FastLangId.model
+    udf { (text: String) =>
+      if (text == null) ("unknown", 0.0)
+      else {
+        val p = FastLangId.predict(text, model)
+        (p.lang, p.confidence)
+      }
+    }
+  }
+
+  /** Composite quality-score columns for a documents table. */
+  def withQualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("alnum_ratio", alnumRatio(t))
+      .withColumn("ws_ratio", wsRatio(t))
+      .withColumn("mean_token_len", meanTokenLen(t))
+  }
+}

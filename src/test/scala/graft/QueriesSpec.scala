@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape checks for the driver-contract surface: every query runs on
+  * sf0.001, the flagship entry returns rows, and every oracle key has a
+  * matching query with column names the driver can align.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry (flagship pipeline) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001 and yields a non-degenerate frame") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      // every query must complete; aggregate/window queries must be non-empty
+      // (row-filter queries like q07 may legitimately return 0 rows)
+      val n = df.count()
+      if (!Set("q07_customers_without_orders", "q19_neardup_candidates").contains(name))
+        assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Specs for the training-data-pipeline operators: dedup, similarity,
+  * text analysis, multimodal plumbing.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docsDir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------------
+  // Dedup
+  // ------------------------------------------------------------------
+  test("exact dedup groups identical texts and keeps the min id") {
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"), (4L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df, "text", "doc_id").collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 3).get
+    assert(dupGroup.getAs[Long]("keeper_id") == 1L)
+    val deduped = Dedup.dropExactDups(df, "text", "doc_id")
+    assert(deduped.count() == 2)
+    assert(deduped.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("minhash: identical texts identical signatures; near-dups mostly agree; distinct texts mostly differ") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val aNear = a.replace("lazy", "sleepy") // one-word edit
+    val b = "completely different content about database query optimization plans"
+    val sa = Dedup.minhashSignature(a)
+    val sa2 = Dedup.minhashSignature(a)
+    val san = Dedup.minhashSignature(aNear)
+    val sb = Dedup.minhashSignature(b)
+    assert(sa.sameElements(sa2))
+    def agree(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    assert(agree(sa, san) > 0.5, s"near-dup agreement ${agree(sa, san)}")
+    assert(agree(sa, sb) < 0.2, s"distinct agreement ${agree(sa, sb)}")
+  }
+
+  test("LSH finds planted near-duplicates without a full cross join") {
+    val base = (1 to 30).map(i => s"unique filler sentence number $i with extra words here").mkString(" ")
+    val near = base.replace("number 7", "number seven")
+    val docs = ((1L, base) +: (2L, near) +: (3 to 40).map(i =>
+      (i.toLong, s"totally unrelated document $i " + ("x" + i.toString) * 5))).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", minJaccard = 0.5).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L),
+      s"planted pair not found: ${pairs.mkString(";")}")
+  }
+
+  test("exact jaccard sanity") {
+    assert(Dedup.exactJaccard("same text here", "same text here") == 1.0)
+    assert(Dedup.exactJaccard("abcdefghij", "qrstuvwxyz1") == 0.0)
+  }
+
+  test("simhash: near texts have small hamming distance, far texts large") {
+    val a = "spark catalyst optimizer rewrites logical plans into physical plans"
+    val aNear = a.replace("rewrites", "transforms")
+    val b = "seven red apples fell from the ancient orchard tree yesterday"
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(Dedup.simhash64(a) == Dedup.simhash64(a))
+    assert(ham(Dedup.simhash64(a), Dedup.simhash64(aNear)) < 16)
+    assert(ham(Dedup.simhash64(a), Dedup.simhash64(b)) > 16)
+  }
+
+  // ------------------------------------------------------------------
+  // Similarity
+  // ------------------------------------------------------------------
+  test("cosine column matches a hand computation") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // 1/(√2·√2)
+  }
+
+  test("brute-force top-k returns exact nearest neighbours with correct ranks") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 3).collect()
+    assert(topk.length == 3)
+    assert(topk.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val scores = topk.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall { case Array(x, y) => x >= y })
+    // exact check vs a driver-side computation
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val nx = math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      val ny = math.sqrt(y.map(v => v.toDouble * v.toDouble).sum)
+      dot / (nx * ny)
+    }
+    val expected = all.filter(_._1 != 0L).map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+    assert(topk.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq == expected)
+  }
+
+  test("LSH top-k achieves high recall on clustered embeddings") {
+    // LSH's operating regime: clustered vectors (real embeddings), not
+    // uniform-random noise where neighbours are barely closer than chance.
+    val rng = new java.util.SplittableRandom(7L)
+    val centers = Array.fill(10, 16)(rng.nextDouble() * 2 - 1)
+    val rows = (0L until 400L).map { i =>
+      val c = centers((i % 10).toInt)
+      val v = c.map(x => (x + rng.nextDouble() * 0.2 - 0.1).toFloat)
+      (i, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, nTables = 8, planesPerTable = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall")
+  }
+
+  test("LSH top-k on uniform-random embeddings still returns ranked candidates") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, nTables = 8, planesPerTable = 6)
+    assert(lsh.count() > 0)
+    assert(lsh.filter(col("rank") > 5).count() == 0)
+  }
+
+  // ------------------------------------------------------------------
+  // TextOps
+  // ------------------------------------------------------------------
+  test("token count handles blanks, multi-space, leading/trailing ws") {
+    val df = Seq("", "   ", "one", " a  b\tc \n d ").toDF("text")
+    val got = df.select(TextOps.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 4))
+  }
+
+  test("quality signals are in-range over a real table") {
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val sig = TextOps.withQualitySignals(docs)
+    val bad = sig.filter(
+      col("alnum_ratio") < 0 || col("alnum_ratio") > 1 ||
+        col("ws_ratio") < 0 || col("ws_ratio") > 1 || col("n_tokens") < 0).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint is whitespace/case insensitive; rolling fingerprint likewise") {
+    val df = Seq(("A  B\tc", 1), ("a b C", 2), ("a b d", 3)).toDF("text", "id")
+    val fps = df.select(TextOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    val rfs = df.select(TextOps.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(rfs(0) == rfs(1) && rfs(0) != rfs(2))
+  }
+
+  test("langid UDF tags code-like vs prose-like docs consistently") {
+    val df = Seq(
+      graft.langid.LangCorpus.python,
+      graft.langid.LangCorpus.markdown).toDF("text")
+    val preds = df.select(TextOps.langIdUdf(col("text")).getField("_1")).as[String].collect()
+    assert(preds.toSeq == Seq("python", "markdown"))
+  }
+
+  // ------------------------------------------------------------------
+  // Multimodal plumbing
+  // ------------------------------------------------------------------
+  test("multimodal: decode recovers planted metadata for all kinds") {
+    val media = Multimodal.synthesize(spark, 300)
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 300)
+    meta.foreach { m =>
+      assert(Set("image", "audio", "video")(m.kind))
+      assert(m.width >= 16 && m.width < 80)
+      assert(m.byteLen >= 272)
+      assert(m.payloadSha.length == 64)
+      if (m.kind == "audio") assert(m.sampleRate >= 8000)
+      if (m.kind == "video") assert(m.nFrames >= 1)
+    }
+  }
+
+  test("multimodal: features have fixed shape and are normalized") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthesize(spark, 100)).collect()
+    assert(feats.forall(_.features.length == 8))
+    feats.foreach(f => assert(math.abs(f.features.sum - 1.0) < 1e-9))
+  }
+
+  test("multimodal: frame sampling strides deterministically") {
+    val frames = Multimodal.frameSample(Multimodal.synthesize(spark, 50), stride = 2)
+    assert(frames.count() > 0)
+    val strides = frames.select("frame_no").distinct().as[Int].collect().sorted
+    assert(strides.forall(_ % 2 == 0))
+  }
+}

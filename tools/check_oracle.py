@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness check: run each oracle SQL in
+DuckDB over the sf-dir parquet tables and compare against the Spark result
+parquet written by graft.Verify (columns sorted by name, rows sorted).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out, [cols[i] for i in order]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        spark_glob = os.path.join(out_dir, name, "*.parquet")
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM '{spark_glob}'").fetch_arrow_table()
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        scols = sdf.column_names
+        sdict = sdf.to_pydict()  # column order == scols
+        srows = list(zip(*[sdict[c] for c in scols])) if sdf.num_rows else []
+        if name not in oracle:
+            results[name] = f"ROWS-ONLY rows={len(srows)}"
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {e}"
+            continue
+        if sorted(scols) != sorted(ocols):
+            results[name] = f"SCHEMA-MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+            continue
+        sn, _ = norm(srows, scols)
+        on, _ = norm(orows, ocols)
+        if len(sn) != len(on):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(sn)} oracle={len(on)}"
+        elif sn == on:
+            results[name] = f"MATCH rows={len(sn)}"
+        else:
+            diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            results[name] = f"VALUE-MISMATCH rows={len(sn)} first_diffs={diffs}"
+
+    ok = True
+    for name in sorted(results):
+        r = results[name]
+        flag = "OK " if r.startswith(("MATCH", "ROWS-ONLY")) else "BAD"
+        if flag == "BAD":
+            ok = False
+        print(f"[{flag}] {name}: {r}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
