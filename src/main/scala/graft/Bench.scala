@@ -1,24 +1,64 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.fixtures.Fixtures
+import graft.pipeline.QualityFilter
+
+/** Driver-run benchmark: times every contract query on SPARK_GRAFT_SF_DIR
+  * plus the flagship pipeline, and prints ONE JSON line.
+  *
+  * Each query is forced through a `noop` sink so the full output (not a
+  * pruned count) is computed — a count() would let Catalyst skip computed
+  * columns entirely and flatter the numbers.
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm the JIT + parquet footers once so per-query numbers measure the
+    // queries, not first-touch costs
+    force(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // flagship pipeline throughput (files/sec end-to-end over the fixture
+    // corpus, scan → langid+ppl+quality+scrub → keep/drop)
+    val pn = 100000L
+    val corpusPath = s"/tmp/graft-bench-corpus-$pn"
+    if (!new java.io.File(corpusPath).exists()) {
+      Fixtures.generate(spark, pn).repartition(64)
+        .write.mode("overwrite").parquet(corpusPath)
+    }
+    val corpus = spark.read.parquet(corpusPath)
+      .as[graft.model.CodeFile](org.apache.spark.sql.Encoders.product[graft.model.CodeFile])
+    val t0 = System.nanoTime()
+    force(QualityFilter.run(corpus).toDF())
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val filesPerSec = pn / pipelineSec
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + pipelineSec
+    println(
+      f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"files":$pn,"sec":$pipelineSec%.3f,"files_per_sec":$filesPerSec%.1f},"cpus":$cpus}""")
     spark.stop()
   }
 }

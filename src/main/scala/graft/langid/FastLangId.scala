@@ -69,18 +69,42 @@ object FastLangId {
 
   final case class Prediction(lang: String, confidence: Double)
 
+  /** Allocation-free scoring. `argmax_l Σ_k c_k·p_l[k]` and the confidence
+    * `best/Σ_l max(0,score_l)` are both invariant to dividing every score by
+    * ‖c‖, so the per-document feature vector never needs materializing: each
+    * n-gram occurrence just adds its profile weights into a 5-slot dot
+    * accumulator. (The `features` map form is kept for profile training.)
+    */
   def predict(text: String, m: Model): Prediction = {
-    val f = features(text)
-    if (f.isEmpty) return Prediction("unknown", 0.0)
+    if (text == null || text.isEmpty) return Prediction("unknown", 0.0)
+    val s = text.substring(0, math.min(text.length, MaxFeatureChars)).toLowerCase
+    val nLangs = m.langs.length
+    val dots = new Array[Double](nLangs)
+    val n = s.length
+    var i = 0
+    var any = false
+    while (i < n) {
+      if (i + 2 <= n) {
+        val k = hashNgram(s, i, i + 2)
+        any = true
+        var l = 0
+        while (l < nLangs) { dots(l) += m.profiles(l)(k); l += 1 }
+      }
+      if (i + 3 <= n) {
+        val k = hashNgram(s, i, i + 3)
+        var l = 0
+        while (l < nLangs) { dots(l) += m.profiles(l)(k); l += 1 }
+      }
+      i += 1
+    }
+    if (!any) return Prediction("unknown", 0.0)
     var best = -1; var bestScore = 0.0; var sumPos = 0.0
-    var li = 0
-    while (li < m.langs.length) {
-      val p = m.profiles(li)
-      var score = 0.0
-      f.foreach { case (k, v) => score += v * p(k) }
-      if (score > 0) sumPos += score
-      if (score > bestScore) { bestScore = score; best = li }
-      li += 1
+    var l = 0
+    while (l < nLangs) {
+      val sc = dots(l)
+      if (sc > 0) sumPos += sc
+      if (sc > bestScore) { bestScore = sc; best = l }
+      l += 1
     }
     if (best < 0 || sumPos <= 0) Prediction("unknown", 0.0)
     else Prediction(m.langs(best), bestScore / sumPos)

@@ -20,8 +20,8 @@ object NgramLM {
   val AddK: Double = 0.1
 
   final case class Model(
-      tri: scala.collection.immutable.HashMap[Long, Int],
-      bi: scala.collection.immutable.HashMap[Long, Int],
+      tri: graft.util.LongIntMap,
+      bi: graft.util.LongIntMap,
       vocabSize: Int
   ) extends Serializable
 
@@ -42,27 +42,19 @@ object NgramLM {
 
   lazy val model: Model = {
     val text = LangCorpus.all.map(cls)
-    val tri = scala.collection.mutable.HashMap[Long, Int]()
-    val bi = scala.collection.mutable.HashMap[Long, Int]()
+    val tri = new graft.util.LongIntMap(1 << 14)
+    val bi = new graft.util.LongIntMap(1 << 12)
     val vocab = scala.collection.mutable.HashSet[Char]()
     var i = 0
     while (i < text.length) {
       vocab += text.charAt(i)
-      if (i + 2 < text.length) {
-        val k3 = key3(text.charAt(i), text.charAt(i + 1), text.charAt(i + 2))
-        tri.update(k3, tri.getOrElse(k3, 0) + 1)
-      }
-      if (i + 1 < text.length) {
-        val k2 = key2(text.charAt(i), text.charAt(i + 1))
-        bi.update(k2, bi.getOrElse(k2, 0) + 1)
-      }
+      if (i + 2 < text.length)
+        tri.addTo(key3(text.charAt(i), text.charAt(i + 1), text.charAt(i + 2)), 1)
+      if (i + 1 < text.length)
+        bi.addTo(key2(text.charAt(i), text.charAt(i + 1)), 1)
       i += 1
     }
-    Model(
-      scala.collection.immutable.HashMap.from(tri),
-      scala.collection.immutable.HashMap.from(bi),
-      vocab.size
-    )
+    Model(tri, bi, vocab.size)
   }
 
   /** exp of the negative mean trigram log-probability. */
@@ -76,8 +68,8 @@ object NgramLM {
     i = 2
     while (i < n) {
       val c = cls(text.charAt(i))
-      val triC = m.tri.getOrElse(key3(a, b, c), 0)
-      val biC = m.bi.getOrElse(key2(a, b), 0)
+      val triC = m.tri.get(key3(a, b, c))
+      val biC = m.bi.get(key2(a, b))
       val p = (triC + AddK) / (biC + AddK * m.vocabSize)
       logSum += math.log(p)
       count += 1

@@ -1,0 +1,32 @@
+package graft.tools
+import graft.fixtures.Fixtures
+import graft.pipeline.QualityFilter
+import graft.langid.FastLangId
+import graft.ppl.NgramLM
+import graft.quality.Heuristics
+import graft.scrub.Scrubber
+import graft.util.Hashing
+
+/** Single-thread per-row cost breakdown (dev tool). */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val n = 20000
+    val rows = (0L until n.toLong).map(i => Fixtures.genRow(i)._1).toArray
+    // force model init
+    FastLangId.model; NgramLM.model
+    def time(label: String)(f: => Unit): Unit = {
+      f // warmup
+      val t0 = System.nanoTime(); f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e3 / n}%.1f us/row")
+    }
+    var sink = 0
+    time("sha256   ") { rows.foreach(r => sink ^= Hashing.sha256Hex(if (r.content == null) "" else r.content).length) }
+    time("scrub    ") { rows.foreach(r => sink ^= Scrubber.scrub(r.content).piiTypes.length) }
+    time("langid   ") { rows.foreach(r => if (r.content != null) sink ^= FastLangId.predict(r.content, FastLangId.model).lang.length) }
+    time("ppl      ") { rows.foreach(r => if (r.content != null) sink ^= NgramLM.perplexity(r.content, NgramLM.model).toInt) }
+    time("quality  ") { rows.foreach(r => sink ^= Heuristics.stats(if (r.content == null) "" else r.content).nLines) }
+    time("analyze  ") { rows.foreach(r => sink ^= QualityFilter.analyze(r, FastLangId.model, NgramLM.model, QualityFilter.Default).piiTypes.length) }
+    time("genRow   ") { (0L until n.toLong).foreach(i => sink ^= Fixtures.genRow(i)._1.content.length) }
+    println(s"sink=$sink")
+  }
+}

@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical plans for plan-sensitive queries so pushdown, broadcast,
+  * and codegen can be audited (dev tool).
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    Seq("q02_filter_project", "q01_pricing_summary", "q03_revenue_by_segment",
+        "q04_customers_per_region", "q21_ann_bruteforce").foreach { q =>
+      println(s"\n========== $q ==========")
+      println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
+    spark.stop()
+  }
+}

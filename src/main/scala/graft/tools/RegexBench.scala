@@ -1,0 +1,26 @@
+package graft.tools
+import java.util.regex.Pattern
+import graft.fixtures.Fixtures
+
+object RegexBench {
+  def main(args: Array[String]): Unit = {
+    val n = 5000
+    val texts = (0L until n.toLong).map(i => Fixtures.genRow(i)._1.content).filter(t => t != null && t.length <= 50000).toArray
+    val pats = Seq(
+      "email" -> """[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}""",
+      "ipv4" -> """(?<![\w.])((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])""",
+      "ipv6" -> """(?<![\w:])(?:(?:[0-9a-fA-F]{1,4}:){4,7}[0-9a-fA-F]{1,4}|(?:[0-9a-fA-F]{1,4}:){1,6}:(?:[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){0,5})?|::(?:[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){0,6}))(?![\w:])""",
+      "phone" -> """(?<![\w])(?:\+\d{1,3}[-. ])?(?:\(\d{3}\)\s?|\d{3}[-. ])\d{3}[-. ]\d{4}(?![\w-])""",
+      "sectok" -> """\b(?:sk_live_|sk_test_|ghp_|gho_|xoxb-|xoxp-|AKIA)[A-Za-z0-9_\-]{8,}\b""",
+      "secasn" -> """(?i)\b(?:api[_\-]?key|secret(?:[_\-]?(?:key|access[_\-]?key))?|access[_\-]?token|auth[_\-]?token|passwd|password|aws_secret_access_key)\b\s*[:=]+\s*["']?([A-Za-z0-9+/_\-]{8,}={0,2})["']?"""
+    )
+    pats.foreach { case (name, p) =>
+      val pat = Pattern.compile(p)
+      var cnt = 0
+      texts.foreach { t => val m = pat.matcher(t); while (m.find()) cnt += 1 } // warm
+      val t0 = System.nanoTime()
+      texts.foreach { t => val m = pat.matcher(t); while (m.find()) cnt += 1 }
+      println(f"$name%-8s ${(System.nanoTime() - t0) / 1e3 / texts.length}%9.1f us/row matches=$cnt")
+    }
+  }
+}

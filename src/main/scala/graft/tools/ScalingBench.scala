@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.Fixtures
+import graft.pipeline.QualityFilter
+
+/** N→4N scaling evidence (BASELINE.json: efficiency ≥ 0.8 from N to 4N
+  * executors). No real cluster exists in this sandbox, so the same job runs
+  * at `local[8]` and `local[32]` over the identical pre-materialized corpus
+  * and we report throughput at both plus efficiency = (T_8 / T_32) / 4.
+  *
+  * The corpus is written once to Parquet (64 splits so both levels have
+  * full input parallelism); each measurement is a fresh SparkSession that
+  * reads → scores → scrubs → noop-sinks the complete output.
+  */
+object ScalingBench {
+
+  private def run(cores: Int, corpusPath: String, warmRows: Long = 0L): Double = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = spark.read.parquet(corpusPath)
+      .as[graft.model.CodeFile](org.apache.spark.sql.Encoders.product[graft.model.CodeFile])
+    if (warmRows > 0) // JIT + page-cache warmup slice, discarded
+      QualityFilter.run(corpus.limit(warmRows.toInt)).toDF()
+        .write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    QualityFilter.run(corpus).toDF()
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 400000L
+    val corpusPath = s"/tmp/graft-scaling-corpus-$n"
+
+    if (!new java.io.File(corpusPath).exists()) {
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      Fixtures.generate(s, n).repartition(128).write.mode("overwrite").parquet(corpusPath)
+      s.stop()
+    }
+
+    // JIT state persists across SparkSessions within this JVM: one warmup
+    // slice per level covers compilation; the measured pass is steady-state.
+    val t8 = run(8, corpusPath, warmRows = 30000L)
+    val t32 = run(32, corpusPath, warmRows = 30000L)
+    val thr8 = n / t8
+    val thr32 = n / t32
+    val efficiency = (t8 / t32) / 4.0
+    println(
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"n_files":$n,"local8":{"sec":$t8%.2f,"files_per_sec":$thr8%.1f},"local32":{"sec":$t32%.2f,"files_per_sec":$thr32%.1f},"speedup":${t8 / t32}%.2f}""")
+  }
+}

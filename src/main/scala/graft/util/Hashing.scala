@@ -5,11 +5,22 @@ import java.security.MessageDigest
 /** Small deterministic hashing helpers shared across modules. */
 object Hashing {
 
+  private val digestTL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.result()
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** 64-bit FNV-1a over a string — cheap, stable, JVM-independent. */

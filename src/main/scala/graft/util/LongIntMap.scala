@@ -1,0 +1,59 @@
+package graft.util
+
+/** Minimal open-addressing long→int hash map (linear probing, power-of-two
+  * capacity). Zero boxing on the hot read path — used for n-gram count
+  * tables consulted millions of times per task. Serializable so it rides a
+  * broadcast. Key 0 is reserved as the empty slot marker (callers must remap
+  * a real 0 key; our n-gram packs never produce 0).
+  */
+final class LongIntMap(initialCapacity: Int) extends Serializable {
+
+  private var capacity = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1) << 1
+  private var mask = capacity - 1
+  private var keys = new Array[Long](capacity)
+  private var vals = new Array[Int](capacity)
+  private var used = 0
+
+  @inline private def slot(k: Long): Int = {
+    // finalizer mix so clustered keys spread
+    var h = k * -7046029254386353131L
+    h ^= (h >>> 32)
+    (h & mask).toInt
+  }
+
+  def update(k: Long, v: Int): Unit = {
+    require(k != 0L, "key 0 is reserved")
+    if (used * 2 >= capacity) grow()
+    var i = slot(k)
+    while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
+    if (keys(i) == 0L) { keys(i) = k; used += 1 }
+    vals(i) = v
+  }
+
+  def addTo(k: Long, delta: Int): Unit = update(k, get(k) + delta)
+
+  def get(k: Long): Int = {
+    var i = slot(k)
+    while (true) {
+      val kk = keys(i)
+      if (kk == k) return vals(i)
+      if (kk == 0L) return 0
+      i = (i + 1) & mask
+    }
+    0
+  }
+
+  def size: Int = used
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    capacity <<= 1; mask = capacity - 1
+    keys = new Array[Long](capacity); vals = new Array[Int](capacity)
+    used = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) != 0L) update(ok(i), ov(i))
+      i += 1
+    }
+  }
+}
