@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput-batch workload: ParallelGC beats G1's latency bias here
+  s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "Parallel")}GC",
 )

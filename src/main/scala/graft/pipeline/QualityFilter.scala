@@ -41,7 +41,10 @@ object QualityFilter {
 
   val Default: Config = Config()
 
-  /** Total per-row analysis — pure function of (file, models, config). */
+  /** Total per-row analysis — pure function of (file, models, config).
+    * Scalar form used by tests/tools; `run` executes the same logic
+    * columnar-side.
+    */
   def analyze(
       f: CodeFile,
       langModel: FastLangId.Model,
@@ -49,16 +52,33 @@ object QualityFilter {
       cfg: Config
   ): ScanResult = {
     val content = if (f.content == null) "" else f.content
-    val sha = graft.util.Hashing.sha256Hex(content)
-    val s = Scrubber.scrub(f.content)
+    val a = analyzeContent(f.content, langModel, lm, cfg)
+    ScanResult(
+      f.repo, f.path, f.commit, graft.util.Hashing.sha256Hex(content), f.lang,
+      a.langIdLang, a.langIdConf, a.perplexity, a.quality,
+      a.hasPii, a.piiTypes, a.entities, a.scrubbedContent, a.keep, a.error)
+  }
+
+  /** Per-content analysis payload (everything except the passthrough keys
+    * and the sha, which stay columnar).
+    */
+  final case class Analysis(
+      langIdLang: String, langIdConf: Double, perplexity: Double,
+      quality: graft.model.QualityStats, hasPii: Boolean,
+      piiTypes: Seq[String], entities: Seq[graft.model.Entity],
+      scrubbedContent: String, keep: Boolean, error: String)
+
+  /** Content-only analysis — the scalar core shared by both run paths. */
+  def analyzeContent(
+      content0: String,
+      langModel: FastLangId.Model,
+      lm: NgramLM.Model,
+      cfg: Config): Analysis = {
+    val content = if (content0 == null) "" else content0
+    val s = Scrubber.scrub(content0)
     if (s.error != null) {
-      ScanResult(
-        f.repo, f.path, f.commit, sha, f.lang,
-        langIdLang = "unknown", langIdConf = 0.0, perplexity = -1.0,
-        quality = Heuristics.stats(content),
-        hasPii = false, piiTypes = Vector.empty, entities = Vector.empty,
-        scrubbedContent = s.scrubbed, keep = false, error = s.error
-      )
+      Analysis("unknown", 0.0, -1.0, Heuristics.stats(content),
+        hasPii = false, Vector.empty, Vector.empty, s.scrubbed, keep = false, s.error)
     } else {
       val pred = FastLangId.predict(content, langModel)
       val ppl = NgramLM.perplexity(content, lm)
@@ -67,24 +87,42 @@ object QualityFilter {
         pred.confidence >= cfg.minLangConf &&
         ppl <= cfg.maxPpl &&
         Heuristics.passes(q, cfg.heuristics)
-      ScanResult(
-        f.repo, f.path, f.commit, sha, f.lang,
-        pred.lang, pred.confidence, ppl, q,
-        s.hasPii, s.piiTypes, s.entities, s.scrubbed, keep, error = null
-      )
+      Analysis(pred.lang, pred.confidence, ppl, q,
+        s.hasPii, s.piiTypes, s.entities, s.scrubbed, keep, error = null)
     }
   }
 
+  /** End-to-end run, columnar execution shape: only `content` crosses the
+    * JVM boundary into the analysis UDF; the key columns (repo, path,
+    * commit, lang) stay as Tungsten UTF8 bytes end to end, and the sha256
+    * invariant is the native codegen'd `sha2`. Model weights are broadcast
+    * once per executor and read inside the UDF.
+    */
   def run(ds: Dataset[CodeFile], cfg: Config = Default): Dataset[ScanResult] = {
     val spark = ds.sparkSession
-    import spark.implicits._
     val bcLang = spark.sparkContext.broadcast(FastLangId.model)
     val bcLm = spark.sparkContext.broadcast(NgramLM.model)
     val bcCfg = spark.sparkContext.broadcast(cfg)
-    ds.mapPartitions { it =>
-      val lang = bcLang.value; val lm = bcLm.value; val c = bcCfg.value
-      it.map(f => analyze(f, lang, lm, c))
+    val analyzeUdf = udf { (content: String) =>
+      analyzeContent(content, bcLang.value, bcLm.value, bcCfg.value)
     }
+    ds.toDF()
+      .withColumn("a", analyzeUdf(col("content")))
+      .select(
+        col("repo"), col("path"), col("commit"),
+        sha2(coalesce(col("content"), lit("")), 256).as("sha256"),
+        col("lang"),
+        col("a.langIdLang").as("langIdLang"),
+        col("a.langIdConf").as("langIdConf"),
+        col("a.perplexity").as("perplexity"),
+        col("a.quality").as("quality"),
+        col("a.hasPii").as("hasPii"),
+        col("a.piiTypes").as("piiTypes"),
+        col("a.entities").as("entities"),
+        col("a.scrubbedContent").as("scrubbedContent"),
+        col("a.keep").as("keep"),
+        col("a.error").as("error"))
+      .as[ScanResult](org.apache.spark.sql.Encoders.product[ScanResult])
   }
 
   /** Per-partition lineage metrics (north rule: files scanned / kept /

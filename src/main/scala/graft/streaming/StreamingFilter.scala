@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.model.CodeFile
+import graft.pipeline.QualityFilter
+
+/** Structured-Streaming front end for the quality-filter pipeline.
+  *
+  * The reference is batch-only (SURVEY.md §2.10), but the scoring stage is a
+  * stateless per-row map, so it lifts to `readStream → score → writeStream`
+  * unchanged — useful when the code corpus arrives as a feed of new commits
+  * rather than a static table. No watermarks/state needed: every transform
+  * is row-local; exactly-once lands on the sink's checkpointing.
+  */
+object StreamingFilter {
+
+  /** Streaming scan over a directory of Parquet files with the input-table
+    * schema, scored by the same pipeline as the batch path.
+    */
+  def scoredStream(
+      spark: SparkSession,
+      inputDir: String,
+      cfg: QualityFilter.Config = QualityFilter.Default,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val schema = org.apache.spark.sql.Encoders.product[CodeFile].schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[CodeFile](org.apache.spark.sql.Encoders.product[CodeFile])
+    QualityFilter.run(stream, cfg).toDF()
+  }
+
+  /** Writer for the scored stream into a Parquet sink with checkpointing
+    * (exactly-once on restart via the sink's commit log).
+    */
+  def writer(scored: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    scored.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+}

@@ -16,7 +16,7 @@ import graft.pipeline.QualityFilter
   */
 object ScalingBench {
 
-  private def run(cores: Int, corpusPath: String, warmRows: Long = 0L): Double = {
+  private def run(cores: Int, corpusPath: String): Double = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -28,9 +28,10 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     val corpus = spark.read.parquet(corpusPath)
       .as[graft.model.CodeFile](org.apache.spark.sql.Encoders.product[graft.model.CodeFile])
-    if (warmRows > 0) // JIT + page-cache warmup slice, discarded
-      QualityFilter.run(corpus.limit(warmRows.toInt)).toDF()
-        .write.format("noop").mode("overwrite").save()
+    // full-pass warmup, discarded: JIT-compiles the whole path and warms the
+    // page cache. (A limit(n) warmup is a trap: GlobalLimit funnels through
+    // one partition, so the measured pass still runs half-cold.)
+    QualityFilter.run(corpus).toDF().write.format("noop").mode("overwrite").save()
     val t0 = System.nanoTime()
     QualityFilter.run(corpus).toDF()
       .write.format("noop").mode("overwrite").save()
@@ -52,10 +53,8 @@ object ScalingBench {
       s.stop()
     }
 
-    // JIT state persists across SparkSessions within this JVM: one warmup
-    // slice per level covers compilation; the measured pass is steady-state.
-    val t8 = run(8, corpusPath, warmRows = 30000L)
-    val t32 = run(32, corpusPath, warmRows = 30000L)
+    val t8 = run(8, corpusPath)
+    val t32 = run(32, corpusPath)
     val thr8 = n / t8
     val thr32 = n / t32
     val efficiency = (t8 / t32) / 4.0

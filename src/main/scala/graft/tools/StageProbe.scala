@@ -1,0 +1,28 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.QualityFilter
+import graft.model.CodeFile
+
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val corpusPath = args(0)
+    Seq(8, 32).foreach { cores =>
+      val spark = SparkSession.builder().master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val corpus = spark.read.parquet(corpusPath)
+      println(s"cores=$cores inputPartitions=${corpus.rdd.getNumPartitions}")
+      def t(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"cores=$cores $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      t("read-noop-warm") { corpus.write.format("noop").mode("overwrite").save() }
+      t("read-noop     ") { corpus.write.format("noop").mode("overwrite").save() }
+      val ds = corpus.as[CodeFile](org.apache.spark.sql.Encoders.product[CodeFile])
+      t("full-warm") { QualityFilter.run(ds.limit(30000)).toDF().write.format("noop").mode("overwrite").save() }
+      t("full     ") { QualityFilter.run(ds).toDF().write.format("noop").mode("overwrite").save() }
+      spark.stop()
+    }
+  }
+}

@@ -1,0 +1,33 @@
+package graft.tools
+import java.util.concurrent.atomic.AtomicLong
+import graft.fixtures.Fixtures
+import graft.pipeline.QualityFilter
+import graft.langid.FastLangId
+import graft.ppl.NgramLM
+
+/** Pure-JVM thread-scaling probe: analyze() across N threads, no Spark. */
+object ThreadScale {
+  def main(args: Array[String]): Unit = {
+    val rows = (0L until 20000L).map(i => Fixtures.genRow(i)._1).toArray
+    FastLangId.model; NgramLM.model
+    rows.foreach(r => QualityFilter.analyze(r, FastLangId.model, NgramLM.model, QualityFilter.Default)) // warm
+    Seq(2, 4, 16, 24, 32).foreach { nt =>
+      val done = new AtomicLong()
+      val t0 = System.nanoTime()
+      val threads = (0 until nt).map { ti =>
+        new Thread(() => {
+          var i = ti
+          var sink = 0
+          while (i < rows.length * 5) {
+            sink ^= QualityFilter.analyze(rows(i % rows.length), FastLangId.model, NgramLM.model, QualityFilter.Default).piiTypes.length
+            i += nt
+            done.incrementAndGet()
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"threads=$nt%2d rows=${done.get()} sec=$sec%.1f rows_per_sec=${done.get() / sec}%.0f")
+    }
+  }
+}

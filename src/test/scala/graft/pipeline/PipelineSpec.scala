@@ -115,6 +115,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter(col("scrubbedContent") =!= col("content")).count() == 0)
   }
 
+  test("columnar run path equals the scalar analyze path (incl. independent sha256 impls)") {
+    // run() computes sha via the codegen'd sha2; analyze() via java.security
+    // MessageDigest — equality here pins both the pipeline parity AND the
+    // sha256 invariant against an independent implementation.
+    val files = Fixtures.generate(spark, 500).collect()
+    val viaRun = QualityFilter.run(Fixtures.generate(spark, 500)).collect()
+      .map(r => (r.repo, r.path, r.commit) -> r).toMap
+    files.foreach { f =>
+      val scalar = QualityFilter.analyze(
+        f, graft.langid.FastLangId.model, graft.ppl.NgramLM.model, QualityFilter.Default)
+      val columnar = viaRun((f.repo, f.path, f.commit))
+      assert(scalar.sha256 == columnar.sha256, s"sha mismatch ${f.path}")
+      assert(scalar.keep == columnar.keep && scalar.error == columnar.error)
+      assert(scalar.scrubbedContent == columnar.scrubbedContent)
+      assert(scalar.entities == columnar.entities)
+    }
+  }
+
   test("pipeline survives a one-row poisoned dataset (null content)") {
     val ds = Seq(CodeFile("r", "p", "c", "scala", null)).toDS()
     val out = QualityFilter.run(ds).collect()

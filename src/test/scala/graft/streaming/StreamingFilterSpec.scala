@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.fixtures.Fixtures
+import graft.pipeline.QualityFilter
+
+/** Streaming path parity: the scored stream over a directory must equal the
+  * batch pipeline over the same rows, including across incremental file
+  * arrivals (exactly-once via checkpoint).
+  */
+class StreamingFilterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming scores equal batch scores over the same corpus") {
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    val corpus = Fixtures.generate(spark, 800)
+    corpus.repartition(4).write.mode("overwrite").parquet(in)
+
+    val q = StreamingFilter.writer(
+      StreamingFilter.scoredStream(spark, in, maxFilesPerTrigger = 2),
+      out, ckpt).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("commit", "sha256", "keep", "scrubbedContent")
+    val batch = QualityFilter.run(spark.read.parquet(in)
+      .as[graft.model.CodeFile](org.apache.spark.sql.Encoders.product[graft.model.CodeFile]))
+      .select("commit", "sha256", "keep", "scrubbedContent")
+    assert(streamed.count() == 800)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("restart with new files processes only the increment (exactly-once)") {
+    val in = Files.createTempDirectory("graft-stream-in2").toString
+    val out = Files.createTempDirectory("graft-stream-out2").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt2").toString
+
+    Fixtures.generate(spark, 300).coalesce(1).write.mode("append").parquet(in)
+    val q1 = StreamingFilter.writer(
+      StreamingFilter.scoredStream(spark, in), out, ckpt).start()
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 300)
+
+    // second batch of files arrives; restart consumes only those
+    Fixtures.generate(spark, 500).filter(col("path").endsWith("5.scala") ||
+      !col("path").endsWith("IMPOSSIBLE")).limit(200)
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = StreamingFilter.writer(
+      StreamingFilter.scoredStream(spark, in), out, ckpt).start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 500) // 300 + 200, no reprocessing
+  }
+}
