@@ -317,6 +317,38 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.synthesize(s, 1000))
         .groupBy(col("frame_no"))
         .agg(count(lit(1)).as("n_media"), countDistinct(col("frame_hash")).as("n_distinct"))
+    }),
+
+    // =================================================================
+    // Corpus construction (reference consolidate/prepare lifecycle,
+    // SURVEY.md §3.2) over synthesized raw sources — rows-only
+    // =================================================================
+
+    // A3/A4: per-source record counts + distinct canonical entity types
+    "q31_consolidate_report" -> ((s, _) => {
+      graft.ingest.TaggedFixtures.consolidated(s, 800).toDF()
+        .select(col("source"), explode(col("labels")).as("label"))
+        .filter(col("label").startsWith("B-"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(expr("substring(label, 3)")).as("n_entity_types"))
+    }),
+
+    // F4/F5/SP1/SP2: cap → rare-drop → stratified split → subset sizes
+    "q32_prepare_splits" -> ((s, _) => {
+      import graft.ingest.Prepare
+      val corpus = graft.ingest.TaggedFixtures.consolidated(s, 800)
+      val capped = Prepare.capSource(corpus, "finer_139", 1000)
+      val (cleaned, kept, dropped) = Prepare.dropRareEntities(capped, threshold = 50)
+      val (train, valSet, test) = Prepare.stratifiedSplit(cleaned)
+      import s.implicits._
+      Seq(
+        ("train", train.count(), kept.length.toLong),
+        ("val", valSet.count(), dropped.length.toLong),
+        ("test", test.count(), Prepare.buildLabelMapping(kept, dropped).numLabels.toLong),
+        ("val_1p", Prepare.stratifiedSubset(valSet).count(), 0L),
+        ("test_1p", Prepare.stratifiedSubset(test).count(), 0L)
+      ).toDF("split", "n_records", "aux")
     })
   )
 

@@ -1,0 +1,133 @@
+package graft.ingest
+
+/** Entity-label canonicalisation (reference src/consolidate_pii_datasets.py:
+  * 36-146 map, 149-185 function).
+  *
+  * `normalise` reproduces the reference's 3-stage fallback exactly:
+  *   1. full-key lookup (prefix + base — handles pre-prefixed map entries),
+  *   2. base lookup,
+  *   3. lowercased-base lookup (few-nerd decoded strings with a prefix),
+  * then camelCase-without-separator → FINANCIAL_ENTITY (XBRL tags), else
+  * uppercase passthrough; a B-/I- prefix on the input is preserved unless
+  * the map value itself carries one.
+  */
+object Labels {
+
+  /** Canonicalisation table — the exact key/value set of the reference
+    * (src/consolidate_pii_datasets.py:36-146). The pre-prefixed B-/I-
+    * entries are semantically load-bearing: a compound label like
+    * "I-B-FIRSTNAME" resolves via base lookup of "B-FIRSTNAME", whose map
+    * VALUE ("B-PERSON") carries its own prefix and overrides the outer one.
+    */
+  val Norm: Map[String, String] = Map(
+    "PER" -> "PERSON", "B-PER" -> "B-PERSON", "I-PER" -> "I-PERSON",
+    "FIRSTNAME" -> "PERSON", "B-FIRSTNAME" -> "B-PERSON", "I-FIRSTNAME" -> "I-PERSON",
+    "LASTNAME" -> "PERSON", "B-LASTNAME" -> "B-PERSON", "I-LASTNAME" -> "I-PERSON",
+    "MIDDLENAME" -> "PERSON", "B-MIDDLENAME" -> "B-PERSON", "I-MIDDLENAME" -> "I-PERSON",
+    "PREFIX" -> "PERSON", "B-PREFIX" -> "B-PERSON", "I-PREFIX" -> "I-PERSON",
+    "GENDER" -> "PERSON", "B-GENDER" -> "B-PERSON", "I-GENDER" -> "I-PERSON",
+    "SEX" -> "PERSON", "B-SEX" -> "B-PERSON", "I-SEX" -> "I-PERSON",
+    "AGE" -> "PERSON", "B-AGE" -> "B-PERSON", "I-AGE" -> "I-PERSON",
+    "DOB" -> "DATE", "B-DOB" -> "B-DATE", "I-DOB" -> "I-DATE",
+    "EYECOLOR" -> "PERSON", "B-EYECOLOR" -> "B-PERSON", "I-EYECOLOR" -> "I-PERSON",
+    "HEIGHT" -> "PERSON", "B-HEIGHT" -> "B-PERSON", "I-HEIGHT" -> "I-PERSON",
+    "person" -> "PERSON", "organization" -> "ORG", "location" -> "LOC",
+    "other" -> "MISC", "art" -> "MISC", "building" -> "LOC",
+    "event" -> "MISC", "product" -> "MISC", "ORG" -> "ORG",
+    "COMPANYNAME" -> "ORG", "B-COMPANYNAME" -> "B-ORG", "I-COMPANYNAME" -> "I-ORG",
+    "ACCOUNTNAME" -> "ORG", "B-ACCOUNTNAME" -> "B-ORG", "I-ACCOUNTNAME" -> "I-ORG",
+    "COMPANY" -> "ORG", "B-COMPANY" -> "B-ORG", "I-COMPANY" -> "I-ORG",
+    "LOC" -> "LOC", "CITY" -> "LOC", "B-CITY" -> "B-LOC",
+    "I-CITY" -> "I-LOC", "STATE" -> "LOC", "B-STATE" -> "B-LOC",
+    "I-STATE" -> "I-LOC", "COUNTY" -> "LOC", "B-COUNTY" -> "B-LOC",
+    "I-COUNTY" -> "I-LOC", "ZIPCODE" -> "LOC", "B-ZIPCODE" -> "B-LOC",
+    "I-ZIPCODE" -> "I-LOC", "STREET" -> "ADDRESS", "B-STREET" -> "B-ADDRESS",
+    "I-STREET" -> "I-ADDRESS", "BUILDINGNUMBER" -> "ADDRESS", "B-BUILDINGNUMBER" -> "B-ADDRESS",
+    "I-BUILDINGNUMBER" -> "I-ADDRESS", "SECONDARYADDRESS" -> "ADDRESS", "B-SECONDARYADDRESS" -> "B-ADDRESS",
+    "I-SECONDARYADDRESS" -> "I-ADDRESS", "NEARBYGPSCOORDINATE" -> "LOC", "B-NEARBYGPSCOORDINATE" -> "B-LOC",
+    "I-NEARBYGPSCOORDINATE" -> "I-LOC", "ORDINALDIRECTION" -> "LOC", "B-ORDINALDIRECTION" -> "B-LOC",
+    "I-ORDINALDIRECTION" -> "I-LOC", "EMAIL" -> "EMAIL", "PHONENUMBER" -> "PHONE",
+    "B-PHONENUMBER" -> "B-PHONE", "I-PHONENUMBER" -> "I-PHONE", "PHONE" -> "PHONE",
+    "PHONEIMEI" -> "PHONE", "B-PHONEIMEI" -> "B-PHONE", "I-PHONEIMEI" -> "I-PHONE",
+    "PHONE_NUMBER" -> "PHONE", "B-PHONE_NUMBER" -> "B-PHONE", "I-PHONE_NUMBER" -> "I-PHONE",
+    "CREDITCARDNUMBER" -> "CREDIT_CARD", "B-CREDITCARDNUMBER" -> "B-CREDIT_CARD", "I-CREDITCARDNUMBER" -> "I-CREDIT_CARD",
+    "CREDITCARDCVV" -> "CREDIT_CARD", "B-CREDITCARDCVV" -> "B-CREDIT_CARD", "I-CREDITCARDCVV" -> "I-CREDIT_CARD",
+    "CREDITCARDISSUER" -> "CREDIT_CARD", "B-CREDITCARDISSUER" -> "B-CREDIT_CARD", "I-CREDITCARDISSUER" -> "I-CREDIT_CARD",
+    "CREDIT_CARD" -> "CREDIT_CARD", "CREDIT_CARD_NUMBER" -> "CREDIT_CARD", "B-CREDIT_CARD_NUMBER" -> "B-CREDIT_CARD",
+    "I-CREDIT_CARD_NUMBER" -> "I-CREDIT_CARD", "IBAN" -> "IBAN", "BIC" -> "BIC",
+    "ACCOUNTNUMBER" -> "ACCOUNT_NUMBER", "B-ACCOUNTNUMBER" -> "B-ACCOUNT_NUMBER", "I-ACCOUNTNUMBER" -> "I-ACCOUNT_NUMBER",
+    "ACCOUNT_NUMBER" -> "ACCOUNT_NUMBER", "ROUTING_NUMBER" -> "ROUTING_NUMBER", "MASKEDNUMBER" -> "ACCOUNT_NUMBER",
+    "B-MASKEDNUMBER" -> "B-ACCOUNT_NUMBER", "I-MASKEDNUMBER" -> "I-ACCOUNT_NUMBER", "PIN" -> "PIN",
+    "TAX_ID" -> "TAX_ID", "SSN" -> "SSN", "AMOUNT" -> "AMOUNT",
+    "CURRENCY" -> "CURRENCY", "B-CURRENCY" -> "B-CURRENCY", "I-CURRENCY" -> "I-CURRENCY",
+    "CURRENCYCODE" -> "CURRENCY", "B-CURRENCYCODE" -> "B-CURRENCY", "I-CURRENCYCODE" -> "I-CURRENCY",
+    "CURRENCYNAME" -> "CURRENCY", "B-CURRENCYNAME" -> "B-CURRENCY", "I-CURRENCYNAME" -> "I-CURRENCY",
+    "CURRENCYSYMBOL" -> "CURRENCY", "B-CURRENCYSYMBOL" -> "B-CURRENCY", "I-CURRENCYSYMBOL" -> "I-CURRENCY",
+    "BITCOINADDRESS" -> "CRYPTO_ADDRESS", "B-BITCOINADDRESS" -> "B-CRYPTO_ADDRESS", "I-BITCOINADDRESS" -> "I-CRYPTO_ADDRESS",
+    "ETHEREUMADDRESS" -> "CRYPTO_ADDRESS", "B-ETHEREUMADDRESS" -> "B-CRYPTO_ADDRESS", "I-ETHEREUMADDRESS" -> "I-CRYPTO_ADDRESS",
+    "LITECOINADDRESS" -> "CRYPTO_ADDRESS", "B-LITECOINADDRESS" -> "B-CRYPTO_ADDRESS", "I-LITECOINADDRESS" -> "I-CRYPTO_ADDRESS",
+    "IP" -> "IP_ADDRESS", "B-IP" -> "B-IP_ADDRESS", "I-IP" -> "I-IP_ADDRESS",
+    "IPV4" -> "IP_ADDRESS", "B-IPV4" -> "B-IP_ADDRESS", "I-IPV4" -> "I-IP_ADDRESS",
+    "IPV6" -> "IP_ADDRESS", "B-IPV6" -> "B-IP_ADDRESS", "I-IPV6" -> "I-IP_ADDRESS",
+    "MAC" -> "IP_ADDRESS", "B-MAC" -> "B-IP_ADDRESS", "I-MAC" -> "I-IP_ADDRESS",
+    "USERAGENT" -> "USERNAME", "B-USERAGENT" -> "B-USERNAME", "I-USERAGENT" -> "I-USERNAME",
+    "URL" -> "URL", "USERNAME" -> "USERNAME", "PASSWORD" -> "PASSWORD",
+    "DATE" -> "DATE", "TIME" -> "TIME", "JOBTITLE" -> "JOB",
+    "B-JOBTITLE" -> "B-JOB", "I-JOBTITLE" -> "I-JOB", "JOBAREA" -> "JOB",
+    "B-JOBAREA" -> "B-JOB", "I-JOBAREA" -> "I-JOB", "JOBTYPE" -> "JOB",
+    "B-JOBTYPE" -> "B-JOB", "I-JOBTYPE" -> "I-JOB", "VEHICLEVIN" -> "VEHICLE",
+    "B-VEHICLEVIN" -> "B-VEHICLE", "I-VEHICLEVIN" -> "I-VEHICLE", "VEHICLEVRM" -> "VEHICLE",
+    "B-VEHICLEVRM" -> "B-VEHICLE", "I-VEHICLEVRM" -> "I-VEHICLE", "VEHI" -> "VEHICLE",
+    "B-VEHI" -> "B-VEHICLE", "I-VEHI" -> "I-VEHICLE", "ANIM" -> "MISC",
+    "BIO" -> "MISC", "CEL" -> "MISC", "DIS" -> "MISC",
+    "EVE" -> "MISC", "FOOD" -> "MISC", "INST" -> "MISC",
+    "MEDIA" -> "MISC", "MYTH" -> "MISC", "PLANT" -> "MISC",
+    "MISC" -> "MISC"
+  )
+
+  private def applyNorm(prefix: String, normed: String): String =
+    if (normed.startsWith("B-") || normed.startsWith("I-")) normed
+    else prefix + normed
+
+  /** Reference `normalise_label` (src/consolidate_pii_datasets.py:149-185). */
+  def normalise(label: String): String = {
+    if (label == "O") return "O"
+    val (prefix, base) =
+      if (label.startsWith("B-") || label.startsWith("I-"))
+        (label.substring(0, 2), label.substring(2))
+      else ("", label)
+
+    // stage 1: full-key (covers pre-prefixed map entries; our map is
+    // prefix-free so this is subsumed by stage 2 — kept for fidelity)
+    Norm.get(prefix + base).foreach(n => return applyNorm(prefix, n))
+    // stage 2: base
+    Norm.get(base).foreach(n => return applyNorm(prefix, n))
+    // stage 3: lowercased base
+    Norm.get(base.toLowerCase).foreach(n => return applyNorm(prefix, n))
+    // XBRL / unknown camelCase → FINANCIAL_ENTITY (py:179-181)
+    if (base.nonEmpty && base.charAt(0).isUpper &&
+        !base.contains("-") && !base.contains("_"))
+      prefix + "FINANCIAL_ENTITY"
+    else
+      prefix + base.toUpperCase
+  }
+
+  /** External-taxonomy maps used by the eval harness
+    * (reference run_benchmarking.py:71-90 and 93-121): entries the
+    * reference maps to None (discard as not-PII) are absent keys here.
+    */
+  val SpacyOntoNotesMap: Map[String, String] = Map(
+    "PERSON" -> "PERSON", "ORG" -> "ORG", "GPE" -> "LOC", "LOC" -> "LOC",
+    "FAC" -> "LOC", "DATE" -> "DATE", "TIME" -> "DATE", "MONEY" -> "AMOUNT"
+  )
+
+  val PresidioMap: Map[String, String] = Map(
+    "PERSON" -> "PERSON", "EMAIL_ADDRESS" -> "EMAIL", "PHONE_NUMBER" -> "PHONE",
+    "US_SSN" -> "SSN", "US_BANK_NUMBER" -> "ACCOUNT_NUMBER",
+    "CREDIT_CARD" -> "CREDIT_CARD", "IBAN_CODE" -> "IBAN",
+    "IP_ADDRESS" -> "IP_ADDRESS", "URL" -> "URL", "DATE_TIME" -> "DATE",
+    "LOCATION" -> "LOC", "ORGANIZATION" -> "ORG",
+    "US_DRIVER_LICENSE" -> "SSN", "US_PASSPORT" -> "SSN", "US_ITIN" -> "SSN",
+    "CRYPTO" -> "CRYPTO_ADDRESS", "IN_PAN" -> "SSN", "IN_AADHAAR" -> "SSN"
+  )
+}

@@ -1,0 +1,153 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus preparation (reference src/data_preparation.py): source cap,
+  * rare-entity drop, stratified split, label mapping.
+  *
+  * Determinism note (SURVEY.md §7.5): the reference caps/splits with
+  * `random.Random(seed)` over in-memory list ORDER — order-dependent and
+  * unreproducible on a cluster. Here every random decision is a pure
+  * function of row content (xxhash64 of the record), so results are
+  * identical at any parallelism and survive repartitioning. Ratios are
+  * preserved per source; exact membership differs from the reference's
+  * in-memory shuffle (which its own reruns also don't reproduce across
+  * machine word sizes).
+  */
+object Prepare {
+
+  val FinerCap = 150000 // reference src/data_preparation.py:29
+  val RareThreshold = 500 // py:30
+  val TrainRatio = 0.8 // py:31
+  val ValRatio = 0.1 // py:32
+  val SubsetFraction = 0.01 // py:33
+  val Seed = 42L // py:34
+
+  private val enc = Encoders.product[TaggedRecord]
+
+  /** Content hash of one record — the per-row "random" coordinate. */
+  private def recHash(salt: String) =
+    xxhash64(concat_ws("", col("tokens")), col("source"), lit(salt), lit(Seed))
+
+  /** Uniform [0,1) from the record hash. */
+  private def unit(salt: String) =
+    (pmod(recHash(salt), lit(1000000000L)).cast("double") / 1000000000.0)
+
+  /** F5/SP3 — cap one source at `cap` records (py:56-65): deterministic
+    * hash-rank sample of the capped source, all other sources pass through.
+    */
+  def capSource(ds: Dataset[TaggedRecord], source: String, cap: Int): Dataset[TaggedRecord] = {
+    val df = ds.toDF()
+    val capped = df.filter(col("source") === source)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(recHash("cap"), col("tokens").getItem(0))))
+      .filter(col("rank") <= cap)
+      .drop("rank")
+    df.filter(col("source") =!= source).unionByName(capped).as[TaggedRecord](enc)
+  }
+
+  /** F4 — rare-entity drop (py:72-109): pass 1 counts B- mentions per type
+    * over the WHOLE corpus; types below threshold have their B-/I- tokens
+    * relabelled to O in pass 2 (labels that are neither O nor B-/I- also
+    * become O, as in the reference). The dropped set is tiny → broadcast.
+    * Returns (rewritten corpus, keptTypes sorted, droppedTypes sorted).
+    */
+  def dropRareEntities(
+      ds: Dataset[TaggedRecord], threshold: Int = RareThreshold
+  ): (Dataset[TaggedRecord], Seq[String], Seq[String]) = {
+    val counts = ds.toDF()
+      .select(explode(col("labels")).as("label"))
+      .filter(col("label").startsWith("B-"))
+      .groupBy(expr("substring(label, 3)").as("etype"))
+      .agg(count(lit(1)).as("mentions"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val dropped = counts.filter(_._2 < threshold).map(_._1).sorted.toSeq
+    val kept = counts.filter(_._2 >= threshold).map(_._1).sorted.toSeq
+    if (dropped.isEmpty) return (ds, kept, dropped)
+
+    val spark = ds.sparkSession
+    val bcDropped = spark.sparkContext.broadcast(dropped.toSet)
+    val rewritten = ds.map { rec =>
+      val d = bcDropped.value
+      val newLabels = rec.labels.map { lbl =>
+        if (lbl == "O") "O"
+        else if (lbl.startsWith("B-") || lbl.startsWith("I-")) {
+          if (d.contains(lbl.substring(2))) "O" else lbl
+        } else "O"
+      }
+      TaggedRecord(rec.tokens, newLabels, rec.source)
+    }(enc)
+    (rewritten, kept, dropped)
+  }
+
+  /** SP1 — stratified 80/10/10 split by source (py:116-148), hash-range
+    * form: u = hash(record) ∈ [0,1); train = u < .8, val = .8 ≤ u < .9,
+    * test = rest. Per-source proportions hold to binomial noise; splits are
+    * disjoint and cover, independent of partitioning.
+    */
+  def stratifiedSplit(
+      ds: Dataset[TaggedRecord],
+      trainRatio: Double = TrainRatio,
+      valRatio: Double = ValRatio
+  ): (Dataset[TaggedRecord], Dataset[TaggedRecord], Dataset[TaggedRecord]) = {
+    val u = unit("split")
+    val df = ds.toDF()
+    (
+      df.filter(u < trainRatio).as[TaggedRecord](enc),
+      df.filter(u >= trainRatio && u < trainRatio + valRatio).as[TaggedRecord](enc),
+      df.filter(u >= trainRatio + valRatio).as[TaggedRecord](enc)
+    )
+  }
+
+  /** SP2 — stratified 1% subset with a ≥1-per-source guarantee (py:155-172):
+    * hash-rank per source, take max(1, n·fraction).
+    */
+  def stratifiedSubset(
+      ds: Dataset[TaggedRecord], fraction: Double = SubsetFraction): Dataset[TaggedRecord] = {
+    val w = Window.partitionBy(col("source"))
+    val ranked = ds.toDF()
+      .withColumn("rank", row_number().over(
+        w.orderBy(recHash("subset"), col("tokens").getItem(0))))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked
+      .filter(col("rank") <= greatest(lit(1), floor(col("n") * fraction)))
+      .drop("rank", "n")
+      .as[TaggedRecord](enc)
+  }
+
+  /** Label mapping (py:179-186): labels = ["O"] ++ sorted types flatMapped
+    * to B-/I-; id2label keys stringify to ints (JSON round-trip,
+    * reference src/inference.py:95).
+    */
+  final case class LabelMapping(
+      labels: Seq[String], label2id: Map[String, Int], id2label: Map[Int, String],
+      keptEntityTypes: Seq[String], droppedEntityTypes: Seq[String]) {
+    def numLabels: Int = labels.length
+  }
+
+  def buildLabelMapping(kept: Seq[String], dropped: Seq[String]): LabelMapping = {
+    val labels = "O" +: kept.sorted.flatMap(t => Seq(s"B-$t", s"I-$t"))
+    val label2id = labels.zipWithIndex.toMap
+    LabelMapping(labels, label2id, label2id.map(_.swap), kept.sorted, dropped.sorted)
+  }
+
+  /** Whole prepare lifecycle (py:205-280): cap → rare-drop → mapping →
+    * split → subsets. Returns everything the reference writes to disk.
+    */
+  final case class Prepared(
+      train: Dataset[TaggedRecord], valSet: Dataset[TaggedRecord],
+      test: Dataset[TaggedRecord], valSubset: Dataset[TaggedRecord],
+      testSubset: Dataset[TaggedRecord], mapping: LabelMapping)
+
+  def prepare(ds: Dataset[TaggedRecord]): Prepared = {
+    val capped = capSource(ds, "finer_139", FinerCap)
+    val (cleaned, kept, dropped) = dropRareEntities(capped)
+    val (train, valSet, test) = stratifiedSplit(cleaned)
+    Prepared(train, valSet, test,
+      stratifiedSubset(valSet), stratifiedSubset(test),
+      buildLabelMapping(kept, dropped))
+  }
+}

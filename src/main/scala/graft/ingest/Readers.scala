@@ -1,0 +1,171 @@
+package graft.ingest
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** One JSONL training record (reference schema, src/consolidate_pii_datasets
+  * .py:8-13): BIO labels aligned 1:1 with whitespace tokens.
+  */
+final case class TaggedRecord(tokens: Seq[String], labels: Seq[String], source: String)
+
+/** Per-source corpus readers (reference src/consolidate_pii_datasets.py
+  * readers S3-S7 in SURVEY.md §2.1), re-expressed as Dataset transformations:
+  * the per-row decode logic is row-local (exactly as in the reference), so
+  * each reader is a single narrow `map`/`flatMap` over the raw frame — no
+  * shuffles, fully parallel at any scale.
+  */
+object Readers {
+
+  private val enc = Encoders.product[TaggedRecord]
+
+  /** S3 — generic BIO reader (py:327-355): optional int-tag decode via
+    * `labelNames`, label normalisation, truncation to min(len) alignment;
+    * rows with missing/empty tokens or labels are skipped.
+    */
+  def readBio(
+      raw: DataFrame, tokenCol: String, labelCol: String, source: String,
+      labelNames: Seq[String] = Seq.empty): Dataset[TaggedRecord] = {
+    val names = labelNames.toArray
+    raw.select(tokenCol, labelCol).flatMap { row =>
+      val tokens = Option(row.getSeq[String](0)).getOrElse(Seq.empty)
+      val rawLabels: Seq[String] =
+        if (names.nonEmpty) {
+          Option(row.getSeq[Any](1)).getOrElse(Seq.empty).map {
+            case i: Int => if (i < names.length) names(i) else "O"
+            case l: Long => if (l < names.length) names(l.toInt) else "O"
+            case s: String => s
+            case other => String.valueOf(other)
+          }
+        } else Option(row.getSeq[Any](1)).getOrElse(Seq.empty).map(String.valueOf)
+      if (tokens.isEmpty || rawLabels.isEmpty) None
+      else {
+        val labels = rawLabels.map(Labels.normalise)
+        val minLen = math.min(tokens.length, labels.length)
+        Some(TaggedRecord(tokens.take(minLen), labels.take(minLen), source))
+      }
+    }(enc)
+  }
+
+  /** S4 — few-nerd reconstructor (py:358-404): int 0 → O; a nonzero tag is
+    * decoded to its coarse name, canonicalised, and given B-/I- by
+    * run-length over the previous canonical label.
+    */
+  def readFewNerd(
+      raw: DataFrame, source: String, labelNames: Seq[String]): Dataset[TaggedRecord] = {
+    val names = labelNames.toArray
+    raw.select("tokens", "ner_tags").flatMap { row =>
+      val tokens = Option(row.getSeq[String](0)).getOrElse(Seq.empty)
+      val tags = Option(row.getSeq[Any](1)).getOrElse(Seq.empty).map {
+        case i: Int => i; case l: Long => l.toInt; case other => String.valueOf(other).toInt
+      }
+      if (tokens.isEmpty || tags.isEmpty) None
+      else {
+        val labels = Seq.newBuilder[String]
+        var prev: String = null
+        tags.foreach { tagId =>
+          if (tagId == 0) { labels += "O"; prev = null }
+          else {
+            val rawLabel = if (tagId < names.length) names(tagId) else "other"
+            val canonical = Labels.normalise(rawLabel)
+            labels += (if (prev == canonical) s"I-$canonical" else s"B-$canonical")
+            prev = canonical
+          }
+        }
+        val ls = labels.result()
+        val minLen = math.min(tokens.length, ls.length)
+        Some(TaggedRecord(tokens.take(minLen), ls.take(minLen), source))
+      }
+    }(enc)
+  }
+
+  /** S5 — span reader (py:407-429): text + raw span column (JSON) →
+    * tokens + BIO via the corpus-side projection, then normalisation.
+    */
+  def readSpans(
+      raw: DataFrame, textCol: String, spanCol: String, source: String): Dataset[TaggedRecord] = {
+    raw.select(textCol, spanCol).flatMap { row =>
+      val text = Option(row.getString(0)).getOrElse("")
+      if (text.isEmpty) None
+      else {
+        val spans = SpanToBio.parseSpanField(row.getString(1), text)
+        val (tokens, labels) = SpanToBio.spanToBio(text, spans)
+        if (tokens.isEmpty) None
+        else Some(TaggedRecord(tokens.toSeq, labels.toSeq.map(Labels.normalise), source))
+      }
+    }(enc)
+  }
+
+  private val TagRe = Pattern.compile("""<(\w+)>(.*?)</\1>""", Pattern.DOTALL)
+
+  /** S6 — Nemotron reader (py:432-498): spans column first; when it yields
+    * no entities, fall back to parsing `<TAG>…</TAG>` markup out of
+    * `text_tagged` while tracking offsets into the cleaned text.
+    */
+  def readNemotron(raw: DataFrame): Dataset[TaggedRecord] = {
+    raw.select("text", "spans", "text_tagged").flatMap { row =>
+      val text = Option(row.getString(0)).getOrElse("")
+      if (text.isEmpty) None
+      else {
+        val spans = SpanToBio.parseSpanField(row.getString(1), text)
+        var (tokens, labels) = SpanToBio.spanToBio(text, spans)
+        var normed = labels.map(Labels.normalise)
+        if (!normed.exists(_ != "O")) {
+          val tagged = Option(row.getString(2)).getOrElse("")
+          if (tagged.nonEmpty) {
+            val fallback = Seq.newBuilder[SpanToBio.RawSpan]
+            val clean = new StringBuilder
+            var remaining = tagged
+            var done = false
+            while (!done && remaining.nonEmpty) {
+              val m = TagRe.matcher(remaining)
+              if (!m.find()) { clean.append(remaining); done = true }
+              else {
+                clean.append(remaining.substring(0, m.start()))
+                val entityStart = clean.length
+                clean.append(m.group(2))
+                fallback += SpanToBio.RawSpan(entityStart, clean.length, m.group(1))
+                remaining = remaining.substring(m.end())
+              }
+            }
+            val cleanText = clean.result()
+            val fb = fallback.result()
+            if (fb.nonEmpty && cleanText.trim.nonEmpty) {
+              val res = SpanToBio.spanToBio(cleanText, fb)
+              tokens = res._1; normed = res._2.map(Labels.normalise)
+            }
+          }
+        }
+        if (tokens.isEmpty) None
+        else Some(TaggedRecord(tokens.toSeq, normed.toSeq, "nvidia_nemotron"))
+      }
+    }(enc)
+  }
+
+  /** S7 — finer-139 parity decode (py:501-527): 0 → O, odd →
+    * B-FINANCIAL_ENTITY, even>0 → I-FINANCIAL_ENTITY.
+    */
+  def readFiner(raw: DataFrame): Dataset[TaggedRecord] = {
+    raw.select("tokens", "ner_tags").flatMap { row =>
+      val tokens = Option(row.getSeq[String](0)).getOrElse(Seq.empty)
+      val tags = Option(row.getSeq[Any](1)).getOrElse(Seq.empty).map {
+        case i: Int => i; case l: Long => l.toInt; case other => String.valueOf(other).toInt
+      }
+      if (tokens.isEmpty || tags.isEmpty) None
+      else {
+        val labels = tags.map { t =>
+          if (t == 0) "O"
+          else if (t % 2 == 1) "B-FINANCIAL_ENTITY"
+          else "I-FINANCIAL_ENTITY"
+        }
+        Some(TaggedRecord(tokens, labels, "finer_139"))
+      }
+    }(enc)
+  }
+
+  /** S8/union — consolidate per-source datasets (py:557-667): union-all of
+    * normalised sources; Spark `unionByName` keeps this a zero-shuffle read.
+    */
+  def consolidate(sources: Seq[Dataset[TaggedRecord]]): Dataset[TaggedRecord] =
+    sources.reduce(_ unionByName _)
+}

@@ -1,0 +1,210 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Char-offset span ↔ whitespace-token BIO projection.
+  *
+  * Two distinct overlap policies exist in the reference and both are
+  * reproduced:
+  *  - `spanToBio` (corpus side, reference src/consolidate_pii_datasets.py:
+  *    192-283): later spans OVERWRITE earlier labels;
+  *  - `spansToBioFirstWins` (eval side, reference run_benchmarking.py:
+  *    152-208): first-span-wins, never overwrite a non-O label.
+  * Both build the same char→token map via incremental `find` and use the
+  * same ±5-char fuzzy fallback when an offset lands between tokens.
+  */
+object SpanToBio {
+
+  final case class RawSpan(start: Int, end: Int, label: String)
+
+  /** char → token-index map (reference src/consolidate_pii_datasets.py:
+    * 209-218): incremental find so repeated tokens map correctly.
+    */
+  private def charToTok(text: String, tokens: Array[String]): Array[Int] = {
+    val map = Array.fill(text.length)(-1)
+    var pos = 0
+    var tokIdx = 0
+    while (tokIdx < tokens.length) {
+      val tok = tokens(tokIdx)
+      val startPos = text.indexOf(tok, pos)
+      if (startPos == -1) {
+        pos += 1
+      } else {
+        var c = startPos
+        while (c < startPos + tok.length && c < text.length) { map(c) = tokIdx; c += 1 }
+        pos = startPos + tok.length
+      }
+      tokIdx += 1
+    }
+    map
+  }
+
+  @inline private def lookup(map: Array[Int], i: Int): Int =
+    if (i >= 0 && i < map.length && map(i) >= 0) map(i) else -1
+
+  /** Corpus-side projection (src/consolidate_pii_datasets.py:192-283):
+    * returns (tokens, labels); fuzzy fallback scans offsets 0..4 FORWARD
+    * from start and BACKWARD from end-1; spans overwrite.
+    */
+  def spanToBio(text: String, spans: Seq[RawSpan]): (Array[String], Array[String]) = {
+    val tokens = text.split("\\s+").filter(_.nonEmpty)
+    val labels = Array.fill(tokens.length)("O")
+    if (tokens.isEmpty) return (tokens, labels)
+    val map = charToTok(text, tokens)
+
+    spans.foreach { span =>
+      var firstTok = -1
+      var lastTok = -1
+      var off = 0
+      while (firstTok < 0 && off < 5) { firstTok = lookup(map, span.start + off); off += 1 }
+      off = 0
+      while (lastTok < 0 && off < 5) { lastTok = lookup(map, span.end - 1 - off); off += 1 }
+      if (firstTok >= 0 && lastTok >= 0) {
+        labels(firstTok) = s"B-${span.label}"
+        var i = firstTok + 1
+        while (i <= lastTok && i < labels.length) { labels(i) = s"I-${span.label}"; i += 1 }
+      }
+    }
+    (tokens, labels)
+  }
+
+  /** Eval-side projection (run_benchmarking.py:152-208): text is
+    * `tokens.mkString(" ")`, spans processed in ascending start order,
+    * first-span-wins, I- never overwrites non-O.
+    */
+  def spansToBioFirstWins(tokens: Array[String], spans: Seq[RawSpan]): Array[String] = {
+    val text = tokens.mkString(" ")
+    val labels = Array.fill(tokens.length)("O")
+    if (tokens.isEmpty) return labels
+    val map = charToTok(text, tokens)
+
+    spans.sortBy(_.start).foreach { span =>
+      var firstTok = lookup(map, span.start)
+      var lastTok = lookup(map, span.end - 1)
+      // eval-side fuzzy scan is 1..5 (run_benchmarking.py:186-194)
+      var off = 1
+      while (firstTok < 0 && off < 6) { firstTok = lookup(map, span.start + off); off += 1 }
+      off = 1
+      while (lastTok < 0 && off < 6) { lastTok = lookup(map, span.end - 1 - off); off += 1 }
+      if (firstTok >= 0 && lastTok >= 0 && labels(firstTok) == "O") {
+        labels(firstTok) = s"B-${span.label}"
+        var i = firstTok + 1
+        while (i <= lastTok && i < labels.length) {
+          if (labels(i) == "O") labels(i) = s"I-${span.label}"
+          i += 1
+        }
+      }
+    }
+    labels
+  }
+
+  // ------------------------------------------------------------------
+  // Polymorphic span-field decoding (reference src/consolidate_pii_datasets
+  // .py:286-320 parse_span_field + 226-266 key resolution inside span_to_bio)
+  // ------------------------------------------------------------------
+  private val StartKeys = Seq("start", "begin", "char_start", "start_index", "startIndex", "offset")
+  private val EndKeys = Seq("end", "char_end", "end_index", "endIndex")
+  private val LabelKeys = Seq("type", "label", "entity_type", "tag", "pii_type",
+    "category", "ner_tag", "entity_label", "class")
+  private val ValueKeys = Seq("value", "text", "surface_form")
+
+  private val mapper = new ObjectMapper()
+
+  /** Python truthiness of a JSON value (reference uses `a or b or ...`). */
+  private def truthy(v: JsonNode): Boolean =
+    v != null && !v.isNull &&
+      !(v.isNumber && v.asDouble() == 0.0) &&
+      !(v.isTextual && v.asText().isEmpty) &&
+      !(v.isBoolean && !v.asBoolean()) &&
+      !(v.isArray && v.size() == 0) && !(v.isObject && v.size() == 0)
+
+  /** Mirror of `span.get(k1) or span.get(k2) or ... or span.get(kN)`
+    * (reference py:226-242): the FIRST truthy value wins; when none is
+    * truthy the chain evaluates to the LAST operand — so a 0 survives only
+    * in the final key (e.g. `offset` for starts), and a present-but-zero
+    * value in any earlier key falls through.
+    */
+  private def chainGet(node: JsonNode, keys: Seq[String]): JsonNode = {
+    keys.foreach { k =>
+      val v = node.get(k)
+      if (truthy(v)) return v
+    }
+    node.get(keys.last)
+  }
+
+  /** Python int(x): numbers truncate; strings strip+parse (failure skips the
+    * whole span, py:268-271); anything else fails.
+    */
+  private def pyInt(v: JsonNode): Option[Int] = {
+    if (v == null || v.isNull) None
+    else if (v.isNumber) Some(v.asDouble().toInt)
+    else if (v.isTextual) {
+      try Some(v.asText().trim.toInt)
+      catch { case _: NumberFormatException => None }
+    } else None
+  }
+
+  /** One span dict → RawSpan, given the row text for the value fallback. */
+  private def resolveSpan(node: JsonNode, text: String): Option[RawSpan] = {
+    var start = chainGet(node, StartKeys)
+    var end = chainGet(node, EndKeys)
+    val labelNode = chainGet(node, LabelKeys)
+    var label = if (truthy(labelNode)) Some(labelNode.asText()) else None
+
+    val startMissing = start == null || start.isNull
+    val endMissing = end == null || end.isNull
+    if (startMissing || endMissing || label.isEmpty) {
+      // last resort: locate `value` in the text (py:244-256)
+      val valueNode = chainGet(node, ValueKeys)
+      val value = if (truthy(valueNode)) Some(valueNode.asText()) else None
+      if (label.isEmpty) {
+        val e = node.get("entity")
+        label = if (truthy(e)) Some(e.asText()) else Some("")
+      }
+      (value, label) match {
+        case (Some(v), Some(l)) if l.nonEmpty =>
+          val idx = text.indexOf(v)
+          if (idx < 0) return None
+          return Some(RawSpan(idx, idx + v.length, l))
+        case _ => return None
+      }
+    }
+    // int() conversion: failure skips the span (py:268-271)
+    (pyInt(start), pyInt(end), label) match {
+      case (Some(s), Some(e), Some(l)) => Some(RawSpan(s, e, l))
+      case _ => None
+    }
+  }
+
+  /** Reference `parse_span_field` (py:286-320): the raw column may be a JSON
+    * string, a JSON array of dicts, an array of `[start, end, label]`
+    * triples (Nemotron nested format), or nested JSON strings.
+    */
+  def parseSpanField(raw: String, text: String): Seq[RawSpan] = {
+    if (raw == null || raw.trim.isEmpty) return Seq.empty
+    val node =
+      try mapper.readTree(raw)
+      catch { case _: Exception => return Seq.empty }
+    collectSpans(node, text)
+  }
+
+  private def collectSpans(node: JsonNode, text: String): Seq[RawSpan] = {
+    if (node == null) Seq.empty
+    else if (node.isArray) {
+      val out = Seq.newBuilder[RawSpan]
+      node.forEach { item =>
+        if (item.isObject) resolveSpan(item, text).foreach(out += _)
+        else if (item.isArray && item.size() >= 3)
+          out += RawSpan(item.get(0).asInt(), item.get(1).asInt(), item.get(2).asText())
+        else if (item.isTextual) {
+          try {
+            val parsed = mapper.readTree(item.asText())
+            out ++= collectSpans(parsed, text)
+          } catch { case _: Exception => }
+        }
+      }
+      out.result()
+    } else if (node.isObject) resolveSpan(node, text).toSeq
+    else Seq.empty
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ingest
+
+import java.util.SplittableRandom
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.util.Hashing
+
+/** Deterministic raw-frame generators exercising every corpus reader
+  * (the offline stand-in for the reference's 10 downloaded HF sources,
+  * reference src/download_datasets.py). Seed-42 pure-function-of-index,
+  * like graft.fixtures.Fixtures.
+  */
+object TaggedFixtures {
+
+  private val Words = Vector("alice", "bob", "paris", "berlin", "acme",
+    "zenith", "report", "window", "ledger", "metric", "bridge", "harbor")
+  private val RawLabels = Vector("FIRSTNAME", "LASTNAME", "CITY", "COMPANYNAME",
+    "PHONENUMBER", "EMAIL", "SSN", "CURRENCYCODE", "JOBTITLE", "RAREONE")
+
+  private def rng(i: Long, salt: Long) =
+    new SplittableRandom(Hashing.splitmix64(i * 31 + salt))
+
+  private def word(r: SplittableRandom) = Words(r.nextInt(Words.length))
+
+  /** tokens + messy string BIO labels. */
+  def rawBio(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val r = rng(i, 1)
+      val len = r.nextInt(8) + 3
+      val tokens = (0 until len).map(_ => word(r) + r.nextInt(100))
+      val labels = (0 until len).map { _ =>
+        if (r.nextInt(10) < 7) "O"
+        else (if (r.nextBoolean()) "B-" else "I-") + RawLabels(r.nextInt(RawLabels.length))
+      }
+      (tokens, labels)
+    }.toDF("tokens", "labels")
+  }
+
+  /** few-nerd style int coarse tags. */
+  val FewNerdNames: Seq[String] =
+    Seq("O", "person", "organization", "location", "other", "art", "building", "event", "product")
+
+  def rawFewNerd(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val r = rng(i, 2)
+      val len = r.nextInt(8) + 3
+      val tokens = (0 until len).map(_ => word(r))
+      var cur = 0
+      val tags = (0 until len).map { _ =>
+        if (r.nextInt(3) == 0) cur = r.nextInt(FewNerdNames.length)
+        cur
+      }
+      (tokens, tags)
+    }.toDF("tokens", "ner_tags")
+  }
+
+  /** text + polymorphic JSON span column. */
+  def rawSpans(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val r = rng(i, 3)
+      val toks = (0 until r.nextInt(8) + 4).map(_ => word(r) + r.nextInt(10))
+      val text = toks.mkString(" ")
+      val nSpans = r.nextInt(3)
+      val spans = (0 until nSpans).map { _ =>
+        val tokIdx = r.nextInt(toks.length)
+        val start = toks.take(tokIdx).map(_.length + 1).sum
+        val end = start + toks(tokIdx).length
+        val lbl = RawLabels(r.nextInt(RawLabels.length))
+        r.nextInt(3) match {
+          case 0 => s"""{"start": $start, "end": $end, "type": "$lbl"}"""
+          case 1 => s"""[$start, $end, "$lbl"]"""
+          case _ => s"""{"begin": $start, "end_index": $end, "category": "$lbl"}"""
+        }
+      }
+      (text, spans.mkString("[", ",", "]"))
+    }.toDF("text", "pii_spans")
+  }
+
+  /** Nemotron style: half span-driven, half text_tagged fallback. */
+  def rawNemotron(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val r = rng(i, 4)
+      val name = word(r).capitalize
+      val city = word(r).capitalize
+      if (i % 2 == 0) {
+        val text = s"Contact $name in $city today"
+        val spans = s"""[{"start": 8, "end": ${8 + name.length}, "type": "FIRSTNAME"}]"""
+        (text, spans, "")
+      } else {
+        val text = s"Contact $name in $city today"
+        val tagged = s"Contact <FIRSTNAME>$name</FIRSTNAME> in <CITY>$city</CITY> today"
+        (text, "[]", tagged)
+      }
+    }.toDF("text", "spans", "text_tagged")
+  }
+
+  /** finer-139 style parity int tags. */
+  def rawFiner(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val r = rng(i, 5)
+      val len = r.nextInt(8) + 3
+      val tokens = (0 until len).map(_ => word(r))
+      val tags = (0 until len).map(_ => r.nextInt(5)) // 0..4: O/B/I mix
+      (tokens, tags)
+    }.toDF("tokens", "ner_tags")
+  }
+
+  /** Full consolidation: every reader → unioned canonical corpus
+    * (the Spark form of reference src/consolidate_pii_datasets.py:554-724).
+    */
+  def consolidated(spark: SparkSession, nPerSource: Long): Dataset[TaggedRecord] =
+    Readers.consolidate(Seq(
+      Readers.readBio(rawBio(spark, nPerSource), "tokens", "labels", "ai4privacy"),
+      Readers.readFewNerd(rawFewNerd(spark, nPerSource), "few_nerd", FewNerdNames),
+      Readers.readSpans(rawSpans(spark, nPerSource), "text", "pii_spans", "mendeley_pii"),
+      Readers.readNemotron(rawNemotron(spark, nPerSource)),
+      Readers.readFiner(rawFiner(spark, nPerSource * 3) // over-weighted → exercises the cap
+      )))
+}
