@@ -349,6 +349,27 @@ object SparkEntry {
         ("val_1p", Prepare.stratifiedSubset(valSet).count(), 0L),
         ("test_1p", Prepare.stratifiedSubset(test).count(), 0L)
       ).toDF("split", "n_records", "aux")
+    }),
+
+    // A5/J2/P10: the multi-system eval harness — per-category P/R/F1 of the
+    // pipeline's extracted entities vs the planted gold spans
+    "q33_harness_report" -> ((s, _) => {
+      val n = 4000L
+      val results = QualityFilter.run(Fixtures.generate(s, n))
+      val pred = results.toDF()
+        .select(col("commit").as("docId"), explode(col("entities")).as("e"))
+        .select(col("docId"), col("e.start").as("start"), col("e.end").as("end"),
+          col("e.type").as("category"))
+      val gold = Fixtures.generateGold(s, n).toDF()
+        .select(col("commit").as("docId"), explode(col("expectedSpans")).as("g"))
+        .select(col("docId"), col("g.start").as("start"), col("g.end").as("end"),
+          col("g.category").as("category"))
+      graft.eval.Harness.report(s, pred, gold)
+    }),
+
+    // A6: corpus EDA statistics over the consolidated tagged corpus
+    "q34_corpus_eda" -> ((s, _) => {
+      graft.eval.CorpusStats.perSource(graft.ingest.TaggedFixtures.consolidated(s, 600))
     })
   )
 

@@ -1,0 +1,66 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.scrub.Scrubber
+
+/** Serving-surface semantics of the reference detector API
+  * (reference src/api.py routes + src/inference.py batch contract), as
+  * library functions over Datasets — the REST layer itself is out of scope,
+  * but every behavioural guarantee a client of `/detect/batch` relies on is
+  * reproduced:
+  *  - empty input LIST raises (EmptyInputError, src/inference.py:371-372);
+  *  - batch cap 1000 texts (api.py:53, 323-327) raises;
+  *  - per-ITEM problems never fail the batch: captured in `error`,
+  *    output length always equals input length (src/inference.py:355-421);
+  *  - result shape mirrors `PIIResult.to_dict()` (src/inference.py:66-67).
+  */
+object Detect {
+
+  val MaxBatchTexts = 1000 // api.py:53
+
+  final case class BatchTooLargeError(n: Int)
+      extends Exception(s"Batch too large: $n texts (max $MaxBatchTexts)")
+  final case class EmptyBatchError()
+      extends Exception("texts list must not be empty")
+
+  /** Distributed batch detect: one row per input text, index-aligned. */
+  def detectBatch(spark: SparkSession, texts: Seq[String]): DataFrame = {
+    if (texts.isEmpty) throw EmptyBatchError()
+    if (texts.length > MaxBatchTexts) throw BatchTooLargeError(texts.length)
+    import spark.implicits._
+    val scrubUdf = udf { (text: String) =>
+      val r = Scrubber.scrub(text)
+      (r.hasPii, r.scrubbed, r.piiTypes, r.entities, r.error)
+    }
+    texts.zipWithIndex.toDF("text", "idx")
+      .withColumn("r", scrubUdf(col("text")))
+      .select(
+        col("idx"),
+        col("r._1").as("hasPii"),
+        col("r._2").as("redactedText"),
+        col("r._3").as("piiTypes"),
+        col("r._4").as("entities"),
+        col("r._5").as("error"))
+      .orderBy("idx")
+  }
+
+  /** `get_pii_statistics` over a detect-batch result
+    * (reference src/inference.py:190-205).
+    */
+  def statistics(results: DataFrame): DataFrame = {
+    val dist = results
+      .select(explode(col("piiTypes")).as("piiType"))
+      .groupBy("piiType").agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("piiType"))), asc = false)
+        .as("piiTypeDistribution"))
+    results.agg(
+      count(lit(1)).as("totalTexts"),
+      sum(when(col("hasPii"), 1L).otherwise(0L)).as("textsWithPii"),
+      sum(when(!col("hasPii"), 1L).otherwise(0L)).as("textsWithoutPii"),
+      round(avg(when(col("hasPii"), 1.0).otherwise(0.0)), 4).as("piiRate"),
+      sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors")
+    ).crossJoin(dist)
+  }
+}

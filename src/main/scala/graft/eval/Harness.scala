@@ -1,0 +1,74 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-system evaluation harness (reference run_benchmarking.py §3.3):
+  * per-type precision/recall/F1 with micro average, plus external-taxonomy
+  * remapping so third-party extractors (spaCy-style, Presidio-style label
+  * spaces) are scored in our canonical label space.
+  *
+  * Spans are rows `(docId, start, end, category)`; matching is exact
+  * (J2 in SURVEY.md §2.4): TP = inner join, FP/FN = anti joins.
+  */
+object Harness {
+
+  final case class TypeScores(
+      category: String, tp: Long, fp: Long, fn: Long,
+      precision: Double, recall: Double, f1: Double)
+
+  private val Key = Seq("docId", "start", "end", "category")
+
+  /** Remap an external label space into ours; unmapped labels are discarded
+    * (the reference maps them to None, run_benchmarking.py:71-121).
+    */
+  def remap(spans: DataFrame, taxonomy: Map[String, String]): DataFrame = {
+    val spark = spans.sparkSession
+    val bc = spark.sparkContext.broadcast(taxonomy)
+    val remapUdf = udf((c: String) => bc.value.get(c))
+    spans.withColumn("category", remapUdf(col("category")))
+      .filter(col("category").isNotNull)
+  }
+
+  /** Per-type + micro scores (reference compute_metrics,
+    * run_benchmarking.py:215-240).
+    */
+  def score(pred: DataFrame, gold: DataFrame): (Seq[TypeScores], SpanF1.Scores) = {
+    val p = pred.select(Key.map(col): _*)
+    val g = gold.select(Key.map(col): _*)
+    val tp = p.join(g, Key, "inner").groupBy("category").agg(count(lit(1)).as("tp"))
+    val fp = p.join(g, Key, "left_anti").groupBy("category").agg(count(lit(1)).as("fp"))
+    val fn = g.join(p, Key, "left_anti").groupBy("category").agg(count(lit(1)).as("fn"))
+    val joined = tp.join(fp, Seq("category"), "full")
+      .join(fn, Seq("category"), "full")
+      .na.fill(0L, Seq("tp", "fp", "fn"))
+      .collect()
+      .map { r =>
+        val (t, f, n) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+        val prec = if (t + f == 0) 0.0 else t.toDouble / (t + f)
+        val rec = if (t + n == 0) 0.0 else t.toDouble / (t + n)
+        val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+        TypeScores(r.getAs[String]("category"), t, f, n, prec, rec, f1)
+      }
+      .sortBy(_.category)
+      .toSeq
+    val micro = SpanF1.Scores(
+      joined.map(_.tp).sum, joined.map(_.fp).sum, joined.map(_.fn).sum)
+    (joined, micro)
+  }
+
+  /** Score report as a DataFrame (the reference's per-entity table,
+    * run_benchmarking.py:431-503) — doubles rounded for display/compare.
+    */
+  def report(spark: SparkSession, pred: DataFrame, gold: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (perType, micro) = score(pred, gold)
+    val rows = perType :+ TypeScores("micro_avg", micro.tp, micro.fp, micro.fn,
+      micro.precision, micro.recall, micro.f1)
+    rows.map(t => (t.category, t.tp, t.fp, t.fn,
+      math.rint(t.precision * 10000) / 10000,
+      math.rint(t.recall * 10000) / 10000,
+      math.rint(t.f1 * 10000) / 10000))
+      .toDF("category", "tp", "fp", "fn", "precision", "recall", "f1")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.pipeline.QualityFilter
+
+/** Upload-file ingestion (reference src/api.py:97-155) + the tabular
+  * scrub fan-out / redacted-grid rebuild (api.py:493-529).
+  *
+  *  - `.txt` → one row per non-blank trimmed line (api.py:102-119);
+  *  - `.csv` → header + ALL columns read as strings (schema-on-read,
+  *    api.py:122-138: `pd.read_csv(..., dtype=str)`); nulls → "" like the
+  *    reference's `fillna("")` (api.py:506);
+  *  - `.xlsx` → intentional gap: no Excel connector offline (SURVEY §2.1 S9);
+  *  - size / extension guards mirror api.py:53-59 (50 MB, allowlist).
+  *
+  * Grid scrub: the reference turns every (row, column) cell into one text,
+  * batch-detects, and writes redacted values back cell-by-cell. Here the
+  * scrub UDF is applied to every string column IN PLACE — same result, no
+  * fan-out join, one narrow pass.
+  */
+object Uploads {
+
+  val MaxFileBytes: Long = 50L * 1024 * 1024 // api.py:56
+  val AllowedExtensions: Set[String] = Set("txt", "csv", "xlsx") // api.py:59
+  val MaxBatchTexts = 1000 // api.py:53
+
+  final case class UploadError(message: String) extends Exception(message)
+
+  def validateUpload(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (!f.exists()) throw UploadError(s"File not found: $path")
+    if (f.length() == 0) throw UploadError("Empty file") // api.py:108-110
+    if (f.length() > MaxFileBytes)
+      throw UploadError(s"File too large: ${f.length()} bytes (max $MaxFileBytes)")
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    if (!AllowedExtensions.contains(ext))
+      throw UploadError(s"Unsupported file extension: .$ext")
+  }
+
+  /** `.txt` → DataFrame(line): trimmed, blanks removed (api.py:113-114). */
+  def readTxt(spark: SparkSession, path: String): DataFrame = {
+    validateUpload(path)
+    // note: Spark's trim() strips ASCII spaces only; the reference strips
+    // ALL whitespace (python str.strip) — use a regex trim for parity
+    spark.read.text(path)
+      .select(regexp_replace(col("value"), "^\\s+|\\s+$", "").as("line"))
+      .filter(length(col("line")) > 0)
+  }
+
+  /** `.csv` → all-string DataFrame with header (api.py:131), nulls → "". */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    validateUpload(path)
+    val headered = spark.read.option("header", "true").csv(path)
+    val allString = StructType(headered.schema.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    spark.read.option("header", "true").schema(allString).csv(path)
+      .na.fill("")
+  }
+
+  /** Scrub every string cell in place; non-string columns pass through.
+    * Output schema == input schema (the reference's redacted-grid rebuild,
+    * api.py:517-520), plus one `_pii_types` array column aggregating the
+    * distinct types found anywhere in the row.
+    */
+  def scrubGrid(df: DataFrame): DataFrame = {
+    val scrubUdf = udf { (s: String) =>
+      val r = graft.scrub.Scrubber.scrub(s)
+      if (r.error != null) (if (s == null) "" else s, Seq.empty[String])
+      else (r.scrubbed, r.piiTypes)
+    }
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    var out = df
+    stringCols.foreach { c =>
+      out = out.withColumn(s"__scrub_$c", scrubUdf(col(c)))
+    }
+    val rebuilt = df.schema.fields.foldLeft(out) { (acc, f) =>
+      if (f.dataType == StringType) acc.withColumn(f.name, col(s"__scrub_${f.name}._1"))
+      else acc
+    }
+    val typeCols = stringCols.map(c => col(s"__scrub_$c._2"))
+    val withTypes =
+      if (typeCols.isEmpty) rebuilt.withColumn("_pii_types", array())
+      else rebuilt.withColumn("_pii_types",
+        array_sort(array_distinct(flatten(array(typeCols: _*)))))
+    withTypes.drop(stringCols.map(c => s"__scrub_$c"): _*)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.eval
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.api.Detect
+import graft.ingest.{TaggedFixtures, TaggedRecord, Uploads}
+
+/** Specs for the serving/eval surfaces: upload parsers + grid scrub,
+  * multi-system harness with taxonomy remap, corpus EDA stats, and the
+  * batch-detect facade (reference test_detector.py behaviours).
+  */
+class SurfaceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // Uploads (S9/P12/F6)
+  // ------------------------------------------------------------------
+  test("txt upload: trimmed non-blank lines only (api.py:113-114)") {
+    val p = Files.createTempFile("up", ".txt")
+    Files.writeString(p, "  hello world  \n\n\t\nsecond line\n   \n")
+    val got = Uploads.readTxt(spark, p.toString).as[String].collect()
+    assert(got.toSeq == Seq("hello world", "second line"))
+  }
+
+  test("csv upload: header + every column string-typed, nulls become empty") {
+    val p = Files.createTempFile("up", ".csv")
+    Files.writeString(p, "name,age,city\nalice,30,\nbob,,paris\n")
+    val df = Uploads.readCsv(spark, p.toString)
+    assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    val rows = df.orderBy("name").collect()
+    assert(rows(0).getString(1) == "30" && rows(0).getString(2) == "")
+    assert(rows(1).getString(1) == "")
+  }
+
+  test("upload guards: empty file, bad extension") {
+    val empty = Files.createTempFile("up", ".txt")
+    intercept[Uploads.UploadError] { Uploads.readTxt(spark, empty.toString) }
+    val bad = Files.createTempFile("up", ".pdf")
+    Files.writeString(bad, "x")
+    intercept[Uploads.UploadError] { Uploads.validateUpload(bad.toString) }
+  }
+
+  test("grid scrub: every string cell redacted in place, schema preserved (api.py:517-520)") {
+    val df = Seq(
+      ("alice@example.com", "call 555-123-4567", 1),
+      ("clean", "also clean", 2)
+    ).toDF("colA", "colB", "id")
+    val out = Uploads.scrubGrid(df).orderBy("id").collect()
+    assert(out(0).getAs[String]("colA") == "[REDACTED]")
+    assert(out(0).getAs[String]("colB") == "call [REDACTED]")
+    assert(out(0).getSeq[String](out(0).fieldIndex("_pii_types")) == Seq("EMAIL", "PHONE"))
+    assert(out(1).getAs[String]("colA") == "clean")
+    assert(out(1).getSeq[String](out(1).fieldIndex("_pii_types")).isEmpty)
+    assert(out(0).getAs[Int]("id") == 1) // non-string column untouched
+  }
+
+  // ------------------------------------------------------------------
+  // Harness (A5/J2/P10)
+  // ------------------------------------------------------------------
+  test("per-type scores with taxonomy remap: unmapped external labels discarded") {
+    val gold = Seq((1L, 0, 5, "PERSON"), (1L, 10, 15, "LOC"), (2L, 0, 3, "EMAIL"))
+      .toDF("docId", "start", "end", "category")
+    // an external system speaking spaCy OntoNotes: GPE→LOC, CARDINAL→discard
+    val external = Seq((1L, 0, 5, "PERSON"), (1L, 10, 15, "GPE"), (2L, 5, 8, "CARDINAL"))
+      .toDF("docId", "start", "end", "category")
+    val remapped = Harness.remap(external, graft.ingest.Labels.SpacyOntoNotesMap)
+    val (perType, micro) = Harness.score(remapped, gold)
+    assert(micro.tp == 2 && micro.fp == 0 && micro.fn == 1) // EMAIL missed
+    val person = perType.find(_.category == "PERSON").get
+    assert(person.f1 == 1.0)
+    assert(perType.find(_.category == "EMAIL").get.recall == 0.0)
+  }
+
+  test("report includes micro average row with 4-dp rounding") {
+    val gold = Seq((1L, 0, 5, "PERSON")).toDF("docId", "start", "end", "category")
+    val pred = Seq((1L, 0, 5, "PERSON"), (1L, 7, 9, "PERSON")).toDF("docId", "start", "end", "category")
+    val rep = Harness.report(spark, pred, gold).collect()
+    val micro = rep.find(_.getString(0) == "micro_avg").get
+    assert(micro.getAs[Double]("precision") == 0.5 && micro.getAs[Double]("recall") == 1.0)
+  }
+
+  // ------------------------------------------------------------------
+  // CorpusStats (A6)
+  // ------------------------------------------------------------------
+  test("EDA global stats: algebra and percentile ordering hold") {
+    val ds = TaggedFixtures.consolidated(spark, 300)
+    val g = CorpusStats.global(ds).head()
+    val records = g.getAs[Long]("records")
+    assert(records > 0)
+    assert(g.getAs[Long]("recordsWithPii") <= records)
+    assert(g.getAs[Double]("lenP50") <= g.getAs[Double]("lenP90"))
+    assert(g.getAs[Double]("lenP90") <= g.getAs[Double]("lenP95"))
+    assert(g.getAs[Double]("piiRate") >= 0 && g.getAs[Double]("piiRate") <= 1)
+    val hist = CorpusStats.entitiesHistogram(ds)
+    assert(hist.agg(sum("nRecords")).head().getLong(0) == records)
+    val perSrc = CorpusStats.perSource(ds)
+    assert(perSrc.agg(sum("records")).head().getLong(0) == records)
+  }
+
+  // ------------------------------------------------------------------
+  // Detect facade (test_detector.py:217-290)
+  // ------------------------------------------------------------------
+  test("detectBatch: length preservation, per-item errors, index alignment") {
+    val texts = Seq("reach me at a@b.co", "", "x" * 50001, "clean text here")
+    val out = Detect.detectBatch(spark, texts).collect()
+    assert(out.length == texts.length)
+    assert(out(0).getAs[Boolean]("hasPii") && out(0).getAs[String]("redactedText") == "reach me at [REDACTED]")
+    assert(out(1).getAs[String]("error") != null)
+    assert(out(2).getAs[String]("error") != null)
+    assert(!out(3).getAs[Boolean]("hasPii") && out(3).getAs[String]("error") == null)
+  }
+
+  test("detectBatch: empty list and oversized batch raise (api.py:53, inference.py:371)") {
+    intercept[Detect.EmptyBatchError] { Detect.detectBatch(spark, Seq.empty) }
+    intercept[Detect.BatchTooLargeError] {
+      Detect.detectBatch(spark, Seq.fill(1001)("x"))
+    }
+  }
+
+  test("detect statistics: with + without == total, distribution desc (test_detector.py:268-290)") {
+    val out = Detect.detectBatch(spark, Seq("a@b.co", "c@d.io and 10.0.0.1", "clean", ""))
+    val s = Detect.statistics(out).head()
+    assert(s.getAs[Long]("textsWithPii") + s.getAs[Long]("textsWithoutPii") ==
+      s.getAs[Long]("totalTexts"))
+    assert(s.getAs[Long]("errors") == 1)
+    val dist = s.getSeq[org.apache.spark.sql.Row](s.fieldIndex("piiTypeDistribution"))
+    assert(dist.head.getLong(0) >= dist.last.getLong(0)) // sorted desc by count
+  }
+}
