@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT rolling_fingerprint
+  * (text) ...")` works next to the Column API. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on spark-submit.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  val rollingFingerprintDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_fingerprint"),
+    new ExpressionInfo(
+      classOf[RollingFingerprintExpr].getName, "rolling_fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "rolling_fingerprint takes exactly one argument")
+      RollingFingerprintExpr(children.head)
+    })
+
+  /** Register on an already-built session (tests, notebooks). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = rollingFingerprintDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 64-bit rolling document fingerprint
+  * (whitespace-collapsing, case-folding polynomial hash — same function as
+  * TextOps.rollingFingerprint, which this supersedes in hot paths).
+  *
+  * Why an Expression instead of a UDF: `doGenCode` emits a direct static
+  * call inside the generated code, so the column stays inside
+  * WholeStageCodegen with no closure boxing, no Option-wrapping, and
+  * null-intolerance the optimizer can reason about (a UDF is an opaque
+  * black box that also blocks filter pushdown across it).
+  */
+case class RollingFingerprintExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingFingerprintExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingFingerprintExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingFingerprintExpr {
+
+  /** Static so generated code can call it directly. Scans the UTF8 bytes
+    * without materializing a java.lang.String; ASCII letters case-fold,
+    * whitespace runs collapse to one space — identical output to the UDF
+    * form in TextOps (pinned by spec).
+    */
+  def compute(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val str = s.toString // correctness first: full unicode semantics
+    var h = 1125899906842597L
+    var i = 0
+    var lastWs = false
+    val n = str.length
+    while (i < n) {
+      val c0 = str.charAt(i)
+      val isWs = Character.isWhitespace(c0)
+      if (!(isWs && lastWs)) {
+        val c = if (isWs) ' ' else Character.toLowerCase(c0)
+        h = 31 * h + c
+      }
+      lastWs = isWs
+      i += 1
+    }
+    h
+  }
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def rolling_fingerprint(c: Column): Column =
+    ColumnBridge.column(RollingFingerprintExpr(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,98 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.Prepare.LabelMapping
+
+/** Model-artifact persistence (reference S14': required-files check at
+  * src/inference.py:211-219, label-mapping load at src/inference.py:92-97,
+  * save shape at src/data_preparation.py:254-266).
+  *
+  * `label_mapping.json` keeps the reference's exact JSON shape — `id2label`
+  * keys are STRINGIFIED ints (JSON round-trip artifact the reference
+  * re-parses with `int(k)`, src/inference.py:95).
+  */
+object ModelArtifacts {
+
+  /** Files that must exist in a model directory (src/inference.py:39). */
+  val RequiredFiles: Set[String] = Set("label_mapping.json", "config.json")
+
+  final case class ModelLoadError(message: String) extends Exception(message)
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Reference `_validate_model_dir`: missing dir or missing required file
+    * → typed error listing what is absent (src/inference.py:211-219).
+    */
+  def validateModelDir(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir)))
+      throw ModelLoadError(s"Model directory not found: $dir")
+    val present = f.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+    val missing = RequiredFiles -- present
+    if (missing.nonEmpty)
+      throw ModelLoadError(s"Model directory missing required files: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def saveLabelMapping(spark: SparkSession, dir: String, m: LabelMapping): Unit = {
+    val labels = m.labels.map(l => "\"" + esc(l) + "\"").mkString("[", ",", "]")
+    val l2i = m.labels.zipWithIndex
+      .map { case (l, i) => "\"" + esc(l) + "\":" + i }.mkString("{", ",", "}")
+    val i2l = m.labels.zipWithIndex
+      .map { case (l, i) => "\"" + i + "\":\"" + esc(l) + "\"" }.mkString("{", ",", "}")
+    val kept = m.keptEntityTypes.map(t => "\"" + esc(t) + "\"").mkString("[", ",", "]")
+    val dropped = m.droppedEntityTypes.map(t => "\"" + esc(t) + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"labels":$labels,"label2id":$l2i,"id2label":$i2l,"kept_entity_types":$kept,"dropped_entity_types":$dropped,"num_labels":${m.numLabels}}"""
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, "label_mapping.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // minimal config.json so the directory satisfies the required-file set
+    val cfg = f.create(new Path(dir, "config.json"), true)
+    try cfg.write(s"""{"model_type":"graft-quality-filter","num_labels":${m.numLabels}}"""
+      .getBytes(StandardCharsets.UTF_8)) finally cfg.close()
+  }
+
+  def loadLabelMapping(spark: SparkSession, dir: String): LabelMapping = {
+    validateModelDir(spark, dir)
+    val f = fs(spark, dir)
+    val p = new Path(dir, "label_mapping.json")
+    val status = f.getFileStatus(p)
+    val in = f.open(p)
+    val bytes = new Array[Byte](status.getLen.toInt)
+    try in.readFully(bytes) finally in.close()
+    val json = new String(bytes, StandardCharsets.UTF_8)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val labels = (0 until node.get("labels").size()).map(node.get("labels").get(_).asText())
+    val kept = (0 until node.get("kept_entity_types").size())
+      .map(node.get("kept_entity_types").get(_).asText())
+    val dropped = (0 until node.get("dropped_entity_types").size())
+      .map(node.get("dropped_entity_types").get(_).asText())
+    // id2label keys round-trip from stringified ints (src/inference.py:95)
+    val id2label = scala.collection.mutable.Map[Int, String]()
+    node.get("id2label").fields().forEachRemaining { e =>
+      id2label(e.getKey.toInt) = e.getValue.asText()
+    }
+    LabelMapping(labels, labels.zipWithIndex.toMap, id2label.toMap, kept, dropped)
+  }
+
+  /** Broadcast a loaded mapping once per executor (J3 pattern,
+    * src/inference.py:94-95).
+    */
+  def broadcastMapping(spark: SparkSession, dir: String) =
+    spark.sparkContext.broadcast(loadLabelMapping(spark, dir))
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.io.ModelArtifacts
+import graft.ingest.Prepare
+import graft.ops.TextOps
+
+/** Native expression + extensions + model-artifact specs. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("native rolling_fingerprint equals the UDF form on varied inputs") {
+    val df = Seq("A  B\tc", "a b C", "", "mixed CASE  and\nnewlines", "ünïcode  ÇASE")
+      .toDF("text")
+    val rows = df.select(
+      RollingFingerprintExpr.rolling_fingerprint(col("text")).as("native"),
+      TextOps.rollingFingerprint(col("text")).as("viaUdf")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("expression participates in codegen and null-intolerance") {
+    val df = Seq(Some("abc"), None).toDF("text")
+    val out = df.select(RollingFingerprintExpr.rolling_fingerprint(col("text"))).collect()
+    assert(out(1).isNullAt(0)) // null in → null out (nullIntolerant)
+    // small local Seqs constant-fold to LocalTableScan; a range-backed frame
+    // exercises the real codegen path
+    val ranged = spark.range(100).select(concat(lit("doc "), col("id")).as("text"))
+      .select(RollingFingerprintExpr.rolling_fingerprint(col("text")).as("fp"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project [rolling_fingerprint"), s"not codegen'd:\n$plan")
+    assert(ranged.distinct().count() == 100) // and it executes through codegen
+  }
+
+  test("SQL registration via extensions: rolling_fingerprint callable from SQL") {
+    GraftExtensions.install(spark)
+    spark.createDataset(Seq("hello  world", "HELLO WORLD"))
+      .toDF("text").createOrReplaceTempView("fp_test")
+    val got = spark.sql(
+      "SELECT rolling_fingerprint(text) AS fp FROM fp_test").as[Long].collect()
+    assert(got(0) == got(1)) // case/whitespace-insensitive
+  }
+
+  test("model artifacts: save/load round-trip, stringified id2label keys, required-file check") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val m = Prepare.buildLabelMapping(Seq("PERSON", "EMAIL"), Seq("RARE"))
+    ModelArtifacts.saveLabelMapping(spark, dir, m)
+    val loaded = ModelArtifacts.loadLabelMapping(spark, dir)
+    assert(loaded.labels == m.labels)
+    assert(loaded.id2label(1) == "B-EMAIL")
+    assert(loaded.droppedEntityTypes == Seq("RARE"))
+    // missing-file validation (src/inference.py:211-219)
+    val bad = java.nio.file.Files.createTempDirectory("graft-bad").toString
+    intercept[ModelArtifacts.ModelLoadError] {
+      ModelArtifacts.validateModelDir(spark, bad)
+    }
+    intercept[ModelArtifacts.ModelLoadError] {
+      ModelArtifacts.validateModelDir(spark, "/nonexistent-model-dir")
+    }
+    // broadcast path
+    assert(ModelArtifacts.broadcastMapping(spark, dir).value.numLabels == m.numLabels)
+  }
+}
