@@ -50,20 +50,20 @@ object Scrubber {
   // IPv4 with octet range validation; word-bounded so version strings like
   // "1.2.3" (three parts) never match.
   private val Ipv4: Pattern = Pattern.compile(
-    """(?<![\w.])((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])"""
+    """(?<![\w.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}+(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])"""
   )
 
   // IPv6: either >=5 full hex groups, or a '::' compression with at least one
   // hex group adjacent — so clock-like strings ("12:30:45") and a bare "::"
   // (Scala list cons) never match.
   private val Ipv6: Pattern = Pattern.compile(
-    """(?<![\w:])(?:(?:[0-9a-fA-F]{1,4}:){4,7}[0-9a-fA-F]{1,4}|(?:[0-9a-fA-F]{1,4}:){1,6}:(?:[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){0,5})?|::(?:[0-9a-fA-F]{1,4}(?::[0-9a-fA-F]{1,4}){0,6}))(?![\w:])"""
+    """(?<![\w:])(?:(?:[0-9a-fA-F]{1,4}+:){4,7}[0-9a-fA-F]{1,4}+|(?:[0-9a-fA-F]{1,4}+:){1,6}:(?:[0-9a-fA-F]{1,4}+(?::[0-9a-fA-F]{1,4}+){0,5}+)?|::(?:[0-9a-fA-F]{1,4}+(?::[0-9a-fA-F]{1,4}+){0,6}+))(?![\w:])"""
   )
 
   // Phone: optional +CC, then 3-3-4 with separators (or parenthesised area
   // code). Separators are mandatory so long digit runs / secrets don't match.
   private val Phone: Pattern = Pattern.compile(
-    """(?<![\w])(?:\+\d{1,3}[-. ])?(?:\(\d{3}\)\s?|\d{3}[-. ])\d{3}[-. ]\d{4}(?![\w-])"""
+    """(?<![\w])(?:\+\d{1,3}+[-. ])?(?:\(\d{3}+\)\s?|\d{3}+[-. ])\d{3}+[-. ]\d{4}+(?![\w-])"""
   )
 
   // Secrets, two families:
