@@ -339,7 +339,8 @@ object SparkEntry {
       import graft.ingest.Prepare
       val corpus = graft.ingest.TaggedFixtures.consolidated(s, 800)
       val capped = Prepare.capSource(corpus, "finer_139", 1000)
-      val (cleaned, kept, dropped) = Prepare.dropRareEntities(capped, threshold = 50)
+      val (cleaned0, kept, dropped) = Prepare.dropRareEntities(capped, threshold = 50)
+      val cleaned = cleaned0.cache() // five downstream count actions reuse it
       val (train, valSet, test) = Prepare.stratifiedSplit(cleaned)
       import s.implicits._
       Seq(
