@@ -247,6 +247,14 @@ object SparkEntry {
       Similarity.lshTopK(emb, queries, k = 5, nTables = 8, planesPerTable = 6)
     }),
 
+    // IVF coarse-quantizer ANN — the production scale path (rows-only)
+    "q22b_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 3)
+    }),
+
     "q23_embedding_norms" -> ((s, dir) => {
       val l2 = sqrt(aggregate(col("embedding"), lit(0.0),
         (acc, v) => acc + v.cast("double") * v.cast("double")))

@@ -90,6 +90,111 @@ object Similarity {
     udf((v: Seq[Float]) =>
       if (v == null) Array.empty[Long] else lshBucketIds(v, nTables, planesPerTable))
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer + probed buckets
+  // ------------------------------------------------------------------
+  /** Deterministic mini k-means over a driver-side sample (Lloyd, fixed
+    * iterations, seeded farthest-point init). The centroid table is tiny
+    * (k × dim floats) and is broadcast; training cost is O(sample · k · it)
+    * once per index build, independent of corpus size.
+    */
+  def trainCentroids(sample: Array[Array[Float]], k: Int, iters: Int = 8): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val n = sample.length
+    // farthest-point init from a fixed start — deterministic, spreads seeds
+    val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    centroids += sample(0).map(_.toDouble)
+    while (centroids.length < math.min(k, n)) {
+      var bestIdx = 0; var bestDist = -1.0
+      var i = 0
+      while (i < n) {
+        var nearest = Double.MaxValue
+        centroids.foreach { c =>
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = sample(i)(j) - c(j); d += t * t; j += 1 }
+          if (d < nearest) nearest = d
+        }
+        if (nearest > bestDist) { bestDist = nearest; bestIdx = i }
+        i += 1
+      }
+      centroids += sample(bestIdx).map(_.toDouble)
+    }
+    var cents = centroids.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < n) {
+        val a = nearestCentroid(sample(i), cents)
+        var j = 0
+        while (j < dim) { sums(a)(j) += sample(i)(j); j += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  def nearestCentroid(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCentroids(v: Array[Float], cents: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    cents.indices.map { c =>
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+      (c, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+  }
+
+  /** IVF ANN: corpus rows live in exactly ONE centroid bucket (one map
+    * pass); each query probes its `nProbe` nearest buckets; exact cosine
+    * ranks within the probed cells. At 10^9+ vectors this turns the scan
+    * into `corpusSize · nProbe / k` with a broadcast-joined probe table.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 2000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = corpus.select(vecCol).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val bc = spark.sparkContext.broadcast(trainCentroids(sample, nCentroids))
+    val assignUdf = udf { (v: Seq[Float]) =>
+      if (v == null) -1 else nearestCentroid(v.toArray, bc.value)
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      if (v == null) Seq.empty[Int] else nearestCentroids(v.toArray, bc.value, nProbe)
+    }
+    val c = corpus.withColumn("cell", assignUdf(col(vecCol)))
+    val q = queries.withColumn("cell", explode(probeUdf(col(qVecCol))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("score", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Bucketed ANN: candidates = bucket collisions in any table; rank by
     * exact cosine over the (deduplicated) candidate set. The scan touches
     * only colliding buckets — never a full cross join.

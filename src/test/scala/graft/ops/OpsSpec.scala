@@ -123,6 +123,33 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall")
   }
 
+  test("IVF top-k: high recall on clustered embeddings with nProbe=2") {
+    val rng = new java.util.SplittableRandom(11L)
+    val centers = Array.fill(8, 16)(rng.nextDouble() * 2 - 1)
+    val rows = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + rng.nextDouble() * 0.2 - 0.1).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("IVF: every corpus row lands in exactly one cell; centroids deterministic") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val sample = emb.select("embedding").limit(200).collect().map(_.getSeq[Float](0).toArray)
+    val c1 = Similarity.trainCentroids(sample, 8)
+    val c2 = Similarity.trainCentroids(sample, 8)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    assert(c1.length == 8)
+  }
+
   test("LSH top-k on uniform-random embeddings still returns ranked candidates") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
