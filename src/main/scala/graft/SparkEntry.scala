@@ -228,6 +228,17 @@ object SparkEntry {
           countDistinct(col("simhash")).as("n_distinct_simhash"))
     }),
 
+    // end-to-end bucketed hamming-≤k join (prefix bands over the 64-bit
+    // simhash, never a cross join); planted single-token variants guarantee
+    // recoverable near-dups at every sf
+    "q20b_simhash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz9marker")).as("text"))
+      Dedup.simhashNearDups(docs.unionByName(variants), "text", "doc_id", maxHamming = 8)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // =================================================================
     // Similarity search over embeddings
     // =================================================================

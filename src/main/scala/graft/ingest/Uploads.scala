@@ -13,7 +13,13 @@ import graft.pipeline.QualityFilter
   *  - `.csv` → header + ALL columns read as strings (schema-on-read,
   *    api.py:122-138: `pd.read_csv(..., dtype=str)`); nulls → "" like the
   *    reference's `fillna("")` (api.py:506);
-  *  - `.xlsx` → intentional gap: no Excel connector offline (SURVEY §2.1 S9);
+  *  - `.xlsx` → zip + XML parsed with the JDK only (no POI offline), all
+  *    cells as strings, first row = header (api.py:141-155
+  *    `pd.read_excel(dtype=str)` + `fillna("")` parity);
+  *  - encoding detection (api.py:97-99 `chardet.detect`): BOM sniff, then
+  *    strict UTF-8 validation of a 1 MiB prefix, else latin-1 (which never
+  *    fails — chardet's own terminal fallback); decode uses REPLACE
+  *    semantics like the reference's `errors="replace"`;
   *  - size / extension guards mirror api.py:53-59 (50 MB, allowlist).
   *
   * Grid scrub: the reference turns every (row, column) cell into one text,
@@ -40,12 +46,71 @@ object Uploads {
       throw UploadError(s"Unsupported file extension: .$ext")
   }
 
+  // ------------------------------------------------------------------
+  // Encoding detection (reference src/api.py:97-99)
+  // ------------------------------------------------------------------
+  import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+  private val SniffBytes = 1 << 20 // detection prefix; chardet also samples
+
+  /** (charset, bomLength). BOM wins; else strict UTF-8 validation of the
+    * prefix (truncated trailing multi-byte sequences don't count as
+    * invalid); else latin-1, which decodes any byte stream.
+    */
+  def detectCharset(bytes: Array[Byte]): (Charset, Int) = {
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      (StandardCharsets.UTF_8, 3)
+    else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      (StandardCharsets.UTF_16LE, 2)
+    else if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      (StandardCharsets.UTF_16BE, 2)
+    else {
+      val n = math.min(bytes.length, SniffBytes)
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val in = java.nio.ByteBuffer.wrap(bytes, 0, n)
+      val out = java.nio.CharBuffer.allocate(n + 1)
+      // endOfInput=false: an incomplete sequence cut at the sniff boundary
+      // is UNDERFLOW, not an error
+      val res = dec.decode(in, out, false)
+      if (res.isError) (StandardCharsets.ISO_8859_1, 0) else (StandardCharsets.UTF_8, 0)
+    }
+  }
+
+  /** Decode with python `errors="replace"` semantics (malformed → U+FFFD). */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    val (cs, bom) = detectCharset(bytes)
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes, bom, bytes.length - bom)).toString
+  }
+
+  private def readDecoded(path: String): (String, Charset) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (cs, _) = detectCharset(bytes)
+    (decodeBytes(bytes), cs)
+  }
+
   /** `.txt` → DataFrame(line): trimmed, blanks removed (api.py:113-114). */
   def readTxt(spark: SparkSession, path: String): DataFrame = {
     validateUpload(path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (cs, bom) = detectCharset(bytes)
     // note: Spark's trim() strips ASCII spaces only; the reference strips
     // ALL whitespace (python str.strip) — use a regex trim for parity
-    spark.read.text(path)
+    val raw =
+      if (cs == StandardCharsets.UTF_8 && bom == 0)
+        spark.read.text(path) // distributed fast path: file already UTF-8
+      else {
+        // non-UTF-8 upload: decode driver-side (bounded by the 50 MB cap —
+        // this is the reference's own in-memory decode, not the 100 TB path)
+        import spark.implicits._
+        spark.createDataset(decodeBytes(bytes).split("\n", -1).toIndexedSeq).toDF("value")
+      }
+    raw
       .select(regexp_replace(col("value"), "^\\s+|\\s+$", "").as("line"))
       .filter(length(col("line")) > 0)
   }
@@ -53,11 +118,108 @@ object Uploads {
   /** `.csv` → all-string DataFrame with header (api.py:131), nulls → "". */
   def readCsv(spark: SparkSession, path: String): DataFrame = {
     validateUpload(path)
-    val headered = spark.read.option("header", "true").csv(path)
-    val allString = StructType(headered.schema.fields.map(f =>
-      StructField(f.name, StringType, nullable = true)))
-    spark.read.option("header", "true").schema(allString).csv(path)
-      .na.fill("")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (cs, bom) = detectCharset(bytes)
+    if (cs == StandardCharsets.UTF_8 && bom == 0) {
+      val headered = spark.read.option("header", "true").csv(path)
+      val allString = StructType(headered.schema.fields.map(f =>
+        StructField(f.name, StringType, nullable = true)))
+      spark.read.option("header", "true").schema(allString).csv(path)
+        .na.fill("")
+    } else {
+      // decode driver-side, parse the decoded lines (cap-bounded upload path)
+      import spark.implicits._
+      val lines = spark.createDataset(
+        decodeBytes(bytes).split("\r\n|\r|\n", -1).toIndexedSeq)
+      val headered = spark.read.option("header", "true").csv(lines)
+      val allString = StructType(headered.schema.fields.map(f =>
+        StructField(f.name, StringType, nullable = true)))
+      spark.read.option("header", "true").schema(allString).csv(lines)
+        .na.fill("")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // .xlsx (reference src/api.py:141-155 `_parse_excel`)
+  // ------------------------------------------------------------------
+  /** Minimal OOXML spreadsheet reader — JDK ZipFile + DOM only (xlsx IS
+    * zip + XML; no Excel connector ships offline). First sheet, first row
+    * as header, every cell as a string, missing cells → ""
+    * (`pd.read_excel(dtype=str)` + `fillna("")` parity). Bounded by the
+    * 50 MB upload cap, so driver-side parse like the reference.
+    */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    validateUpload(path)
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entries = zip.entries().asScala.map(_.getName).toVector
+      def parse(name: String): org.w3c.dom.Document = {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(false)
+        f.newDocumentBuilder().parse(zip.getInputStream(zip.getEntry(name)))
+      }
+      // shared strings are optional
+      val shared: Vector[String] =
+        if (entries.contains("xl/sharedStrings.xml")) {
+          val doc = parse("xl/sharedStrings.xml")
+          val sis = doc.getElementsByTagName("si")
+          (0 until sis.getLength).map { i =>
+            // concatenate all <t> descendants (plain + rich-text runs)
+            val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+            (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
+          }.toVector
+        } else Vector.empty
+      val sheetName = entries.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).sorted
+        .headOption.getOrElse(throw UploadError(s"No worksheet in $path"))
+      val doc = parse(sheetName)
+
+      // "A1" → 0-based column index
+      def colIndex(ref: String): Int = {
+        var idx = 0; var i = 0
+        while (i < ref.length && ref.charAt(i).isLetter) {
+          idx = idx * 26 + (ref.charAt(i) - 'A' + 1); i += 1
+        }
+        idx - 1
+      }
+      def cellText(c: org.w3c.dom.Element): String = {
+        val t = c.getAttribute("t")
+        if (t == "inlineStr") {
+          val ts = c.getElementsByTagName("t")
+          (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
+        } else {
+          val vs = c.getElementsByTagName("v")
+          if (vs.getLength == 0) ""
+          else {
+            val v = vs.item(0).getTextContent
+            t match {
+              case "s" => shared.lift(v.trim.toInt).getOrElse("")
+              case "b" => if (v.trim == "1") "True" else "False" // py bool str()
+              case _ => v
+            }
+          }
+        }
+      }
+      val rowNodes = doc.getElementsByTagName("row")
+      val rows: Vector[Map[Int, String]] = (0 until rowNodes.getLength).map { r =>
+        val cells = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("c")
+        (0 until cells.getLength).map { ci =>
+          val c = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
+          val ref = c.getAttribute("r")
+          val idx = if (ref.nonEmpty) colIndex(ref) else ci
+          idx -> cellText(c)
+        }.toMap
+      }.toVector
+      if (rows.isEmpty) throw UploadError(s"Empty spreadsheet: $path")
+
+      val nCols = rows.head.keys.max + 1
+      val header = (0 until nCols).map(i => rows.head.getOrElse(i, s"Unnamed: $i"))
+      val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+      val data = rows.tail.map { m =>
+        org.apache.spark.sql.Row.fromSeq((0 until nCols).map(i => m.getOrElse(i, "")))
+      }
+      spark.createDataFrame(data.asJava, schema)
+    } finally zip.close()
   }
 
   /** Scrub every string cell in place; non-string columns pass through.

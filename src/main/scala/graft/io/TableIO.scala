@@ -39,6 +39,39 @@ object TableIO {
       version: Int, parent: Int, committedBuckets: Set[Int],
       metrics: Seq[BucketMetrics])
 
+  /** Per-bucket lineage counters collected DURING the write action — one
+    * pass over the pipeline output instead of re-reading the just-written
+    * parquet (which would double every commit's I/O at 100 TB). Flat
+    * Array[Long] of nBuckets × 4 slots; Spark applies accumulator updates
+    * from tasks of an action exactly once per successful task.
+    */
+  private final class BucketMetricsAcc(nBuckets: Int)
+      extends org.apache.spark.util.AccumulatorV2[Array[Long], Array[Long]] {
+    private var data = new Array[Long](nBuckets * 4)
+    override def isZero: Boolean = data.forall(_ == 0L)
+    override def copy(): BucketMetricsAcc = {
+      val c = new BucketMetricsAcc(nBuckets); c.data = data.clone(); c
+    }
+    override def reset(): Unit = java.util.Arrays.fill(data, 0L)
+    override def add(v: Array[Long]): Unit = {
+      var i = 0; while (i < data.length) { data(i) += v(i); i += 1 }
+    }
+    def addRow(bucket: Int, kept: Boolean, scrubbed: Boolean, error: Boolean): Unit = {
+      val base = bucket * 4
+      data(base) += 1
+      if (kept) data(base + 1) += 1
+      if (scrubbed) data(base + 2) += 1
+      if (error) data(base + 3) += 1
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[Array[Long], Array[Long]]): Unit =
+      add(other.value)
+    override def value: Array[Long] = data
+    def metricsFor(buckets: Seq[Int]): Seq[BucketMetrics] =
+      buckets.filter(b => data(b * 4) > 0).map { b =>
+        BucketMetrics(b, data(b * 4), data(b * 4 + 1), data(b * 4 + 2), data(b * 4 + 3))
+      }
+  }
+
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -143,27 +176,34 @@ object TableIO {
     val results = QualityFilter.run(subset, cfg)
       .withColumn("bucket", bucketCol(nBuckets))
 
+    // per-bucket lineage metrics ride the write itself: a pass-through
+    // mapPartitions feeds an accumulator while rows stream to parquet — ONE
+    // scan of the pipeline output per commit (the old shape re-read the
+    // written files, doubling commit I/O; kept below as an audit mode)
+    val acc = new BucketMetricsAcc(nBuckets)
+    spark.sparkContext.register(acc, s"graft.tableio.bucketMetrics.v${prev.map(_.version + 1).getOrElse(1)}")
+    val schema = results.schema
+    val iBucket = schema.fieldIndex("bucket")
+    val iKeep = schema.fieldIndex("keep")
+    val iPii = schema.fieldIndex("hasPii")
+    val iErr = schema.fieldIndex("error")
+    val observed = results.mapPartitions { it =>
+      it.map { row =>
+        acc.addRow(row.getInt(iBucket), row.getBoolean(iKeep),
+          row.getBoolean(iPii), !row.isNullAt(iErr))
+        row
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+
     // dynamic partition overwrite: reprocessing a bucket atomically replaces
     // any partial files a crashed run left behind
-    results.write
+    observed.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(dataDir(root))
 
-    // per-bucket lineage metrics from the data just written
-    val m = spark.read.parquet(dataDir(root))
-      .filter(col("bucket").isin(todo: _*))
-      .groupBy("bucket")
-      .agg(
-        count(lit(1)).as("filesScanned"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("filesKept"),
-        sum(when(col("hasPii"), 1L).otherwise(0L)).as("filesScrubbed"),
-        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"))
-      .collect()
-      .map(r => BucketMetrics(r.getInt(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-      .toSeq
+    val m = acc.metricsFor(todo)
     // buckets that had no input rows still count as committed
     val emptyBuckets = todo.filterNot(b => m.exists(_.bucket == b))
       .map(b => BucketMetrics(b, 0, 0, 0, 0))
@@ -176,6 +216,24 @@ object TableIO {
     commitSnapshot(spark, root, snap)
     snap
   }
+
+  /** Audit mode: recompute per-bucket metrics from the files on disk and
+    * compare with what a snapshot recorded. Costs a full read of the listed
+    * buckets — run on demand, never inside the commit path.
+    */
+  def auditMetrics(spark: SparkSession, root: String, buckets: Seq[Int]): Seq[BucketMetrics] =
+    spark.read.parquet(dataDir(root))
+      .filter(col("bucket").isin(buckets: _*))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("filesScanned"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("filesKept"),
+        sum(when(col("hasPii"), 1L).otherwise(0L)).as("filesScrubbed"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"))
+      .collect()
+      .map(r => BucketMetrics(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_.bucket).toSeq
 
   /** Read the table as of the LAST committed snapshot: only committed
     * buckets are visible.

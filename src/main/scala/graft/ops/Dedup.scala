@@ -91,11 +91,65 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Near-duplicate candidate pairs (a < b) from LSH band collisions. */
-  def candidatePairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Buckets wider than this are dropped from candidate generation by
+    * default: an m-doc bucket emits m² join pairs, so one degenerate class
+    * (empty/boilerplate docs) at 10^9 scale would explode the shuffle
+    * (SCALING.md §LSH). Members of an oversized bucket still pair up via
+    * their OTHER 15 bands unless they are degenerate there too — exactly the
+    * pathological case the cap exists to bound. Exact dedup (cheap, runs
+    * first in a real pipeline) removes byte-identical mass before LSH.
+    */
+  val DefaultMaxBucketWidth = 256
+
+  private val observeCounter = new java.util.concurrent.atomic.AtomicLong()
+  private val listenerInstalled = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Log observed dropped-bucket metrics once per completed action — a
+    * QueryExecutionListener reads the `observe()` metrics that ride the
+    * normal execution, so the count costs zero extra jobs.
+    */
+  private def installDropLogger(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (listenerInstalled.add(String.valueOf(System.identityHashCode(spark)))) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.lsh.buckets"))
+              log.warn(s"LSH bucket stats [$name]: droppedOversized=${row.getAs[Long]("droppedBuckets")} " +
+                s"maxWidth=${row.getAs[Any]("maxWidth")}")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
+  }
+
+  /** Near-duplicate candidate pairs (a < b) from LSH band collisions.
+    *
+    * Scale guard: per-(band,bucket) widths are counted first and buckets
+    * wider than `maxBucketWidth` are anti-joined away BEFORE the self-join,
+    * so no bucket can contribute more than maxBucketWidth² pairs. The number
+    * of dropped buckets is attached as an `observe()` metric (zero extra
+    * jobs) and logged on action completion.
+    */
+  def candidatePairs(df: DataFrame, textCol: String, idCol: String,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
+    installDropLogger(df.sparkSession)
     val buckets = lshBuckets(df, textCol, idCol)
-    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
-    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    val widths = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__w"))
+    val observed = widths.observe(
+      s"graft.lsh.buckets.${observeCounter.incrementAndGet()}",
+      sum(when(col("__w") > maxBucketWidth, 1L).otherwise(0L)).as("droppedBuckets"),
+      max(col("__w")).as("maxWidth"))
+    val oversized = observed.filter(col("__w") > maxBucketWidth)
+      .select(col("band"), col("bucket"))
+    // the oversized set is tiny by construction (only degenerate buckets);
+    // AQE turns this anti join into a broadcast at runtime
+    val pruned = buckets.join(oversized, Seq("band", "bucket"), "left_anti")
+    val l = pruned.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = pruned.select(col("band"), col("bucket"), col(idCol).as("b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -160,4 +214,43 @@ object Dedup {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** End-to-end SimHash near-dup pairs (a < b, hamming ≤ maxHamming) WITHOUT
+    * a cross join: the 64-bit key is split into `maxHamming + 1` contiguous
+    * bit bands — by pigeonhole, any pair within `maxHamming` bit flips agrees
+    * exactly on at least one band — so candidates come from an equi-join on
+    * (band, bandBits) and only then pay the exact hamming check. Same
+    * oversized-bucket guard as MinHash LSH (a degenerate constant-text class
+    * shares all bands).
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val nBands = maxHamming + 1
+    val withSim = df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
+    val bandCols = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      val width = hi - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }
+    val buckets = withSim
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
+    val oversized = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > maxBucketWidth)
+      .select(col("band"), col("key"))
+    val pruned = buckets.join(oversized, Seq("band", "key"), "left_anti")
+    val l = pruned.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("simA"))
+    val r = pruned.select(col("band"), col("key"), col(idCol).as("b"), col("simhash").as("simB"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", hamming(col("simA"), col("simB")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming")).distinct()
+  }
 }

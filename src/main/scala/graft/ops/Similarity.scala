@@ -162,6 +162,21 @@ object Similarity {
     }.sortBy(_._2).take(nProbe).map(_._1)
   }
 
+  /** Deterministic hash-spread training sample: the `n` corpus rows with the
+    * smallest `xxhash64(id)` — a uniform draw across ALL partitions (plain
+    * `limit(n)` would pull from the first partition only and bias the
+    * centroids on data sorted/partitioned by source). Plans as
+    * TakeOrderedAndProject: bounded driver memory, one map-side top-n per
+    * partition, no full sort.
+    */
+  def hashSpreadSample(
+      corpus: DataFrame, n: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] =
+    corpus.select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h").asc)
+      .limit(n)
+      .collect().map(_.getSeq[Float](0).toArray)
+
   /** IVF ANN: corpus rows live in exactly ONE centroid bucket (one map
     * pass); each query probes its `nProbe` nearest buckets; exact cosine
     * ranks within the probed cells. At 10^9+ vectors this turns the scan
@@ -174,8 +189,7 @@ object Similarity {
       qIdCol: String = "query_id", qVecCol: String = "query_vec"
   ): DataFrame = {
     val spark = corpus.sparkSession
-    val sample = corpus.select(vecCol).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = hashSpreadSample(corpus, sampleSize, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(trainCentroids(sample, nCentroids))
     val assignUdf = udf { (v: Seq[Float]) =>
       if (v == null) -1 else nearestCentroid(v.toArray, bc.value)

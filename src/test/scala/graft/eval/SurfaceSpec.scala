@@ -46,6 +46,49 @@ class SurfaceSpec extends AnyFunSuite {
     intercept[Uploads.UploadError] { Uploads.validateUpload(bad.toString) }
   }
 
+  private val res = "src/test/resources"
+
+  test("encoding detection: latin-1 upload decodes like the reference (api.py:97-99)") {
+    val got = Uploads.readTxt(spark, s"$res/upload_latin1.txt").as[String].collect()
+    assert(got.toSeq == Seq("café au lait", "naïve approach"))
+  }
+
+  test("encoding detection: UTF-16LE BOM upload decodes; BOM stripped") {
+    val got = Uploads.readTxt(spark, s"$res/upload_utf16.txt").as[String].collect()
+    assert(got.toSeq == Seq("hello utf16", "second zeile"))
+  }
+
+  test("encoding detection: UTF-8 BOM stripped; plain UTF-8 stays on the distributed path") {
+    val got = Uploads.readTxt(spark, s"$res/upload_utf8bom.txt").as[String].collect()
+    assert(got.toSeq == Seq("bom line one"))
+    // replace semantics: invalid UTF-8 byte inside otherwise-valid text
+    val bytes = "ok ".getBytes("UTF-8") ++ Array(0x80.toByte) ++ " end".getBytes("UTF-8")
+    assert(Uploads.detectCharset(bytes)._1 == java.nio.charset.StandardCharsets.ISO_8859_1)
+    // latin-1 decodes every byte — 0x80 is U+0080, python's errors path never fires
+    assert(Uploads.decodeBytes(bytes) == "ok  end")
+  }
+
+  test("xlsx upload: first sheet, header row, all strings, missing cells empty (api.py:141-155)") {
+    val df = Uploads.readXlsx(spark, s"$res/upload_fixture.xlsx")
+    assert(df.columns.toSeq == Seq("name", "email", "notes"))
+    assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    val rows = df.orderBy("name").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "alice" &&
+      rows(0).getString(1) == "mail alice@example.com now" &&
+      rows(0).getString(2) == "rich text run")
+    assert(rows(1).getString(0) == "bob" && rows(1).getString(1) == "" &&
+      rows(1).getString(2) == "42") // missing cell → "", numeric cell → string
+  }
+
+  test("xlsx upload round-trips through the grid scrub") {
+    val df = Uploads.readXlsx(spark, s"$res/upload_fixture.xlsx")
+    val out = Uploads.scrubGrid(df).orderBy("name").collect()
+    assert(out(0).getAs[String]("email") == "mail [REDACTED] now")
+    assert(out(0).getSeq[String](out(0).fieldIndex("_pii_types")) == Seq("EMAIL"))
+    assert(out(1).getAs[String]("notes") == "42")
+  }
+
   test("grid scrub: every string cell redacted in place, schema preserved (api.py:517-520)") {
     val df = Seq(
       ("alice@example.com", "call 555-123-4567", 1),
@@ -83,6 +126,28 @@ class SurfaceSpec extends AnyFunSuite {
     val rep = Harness.report(spark, pred, gold).collect()
     val micro = rep.find(_.getString(0) == "micro_avg").get
     assert(micro.getAs[Double]("precision") == 0.5 && micro.getAs[Double]("recall") == 1.0)
+  }
+
+  test("report macro average: unweighted mean of per-type scores (run_benchmarking.py:431-503)") {
+    // PERSON: P=1, R=1, F1=1; EMAIL: P=1/2, R=1, F1=2/3; LOC: P=0, R=0, F1=0
+    val gold = Seq((1L, 0, 5, "PERSON"), (1L, 8, 12, "EMAIL"), (2L, 0, 3, "LOC"))
+      .toDF("docId", "start", "end", "category")
+    val pred = Seq((1L, 0, 5, "PERSON"), (1L, 8, 12, "EMAIL"), (1L, 20, 25, "EMAIL"))
+      .toDF("docId", "start", "end", "category")
+    val rep = Harness.report(spark, pred, gold).collect()
+    val macroRow = rep.find(_.getString(0) == "macro_avg").get
+    assert(macroRow.getAs[Double]("precision") == 0.5) // (1 + 0.5 + 0)/3
+    assert(math.abs(macroRow.getAs[Double]("recall") - 0.6667) < 1e-9) // (1+1+0)/3, 4dp
+    assert(math.abs(macroRow.getAs[Double]("f1") - 0.5556) < 1e-9) // (1 + 2/3 + 0)/3, 4dp
+  }
+
+  test("score preserves duplicate-span multiplicities (inner-join semantics)") {
+    // span appears 2× in pred, 3× in gold → 6 TPs, like the previous
+    // inner + anti join formulation
+    val gold = Seq.fill(3)((1L, 0, 4, "PERSON")).toDF("docId", "start", "end", "category")
+    val pred = Seq.fill(2)((1L, 0, 4, "PERSON")).toDF("docId", "start", "end", "category")
+    val (perType, micro) = Harness.score(pred, gold)
+    assert(perType.head.tp == 6 && micro.fp == 0 && micro.fn == 0)
   }
 
   // ------------------------------------------------------------------

@@ -74,6 +74,16 @@ class TableIOSpec extends AnyFunSuite {
     assert(snap.metrics.map(_.filesKept).sum == kept)
   }
 
+  test("single-pass commit metrics match an on-disk audit readback") {
+    val root = tmpRoot()
+    val input = Fixtures.generate(spark, 1000)
+    val snap = TableIO.runResumable(input, root, nBuckets = 8)
+    // metrics were accumulated during the write (no post-write re-read);
+    // the audit mode re-derives them from disk — they must agree exactly
+    val audit = TableIO.auditMetrics(spark, root, 0 until 8)
+    assert(snap.metrics.filter(_.filesScanned > 0).sortBy(_.bucket) == audit)
+  }
+
   test("uncommitted data is invisible even if files exist on disk") {
     val root = tmpRoot()
     val input = Fixtures.generate(spark, 800)

@@ -60,6 +60,58 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.exactJaccard("abcdefghij", "qrstuvwxyz1") == 0.0)
   }
 
+  test("LSH bucket cap bounds candidate pairs from a degenerate class") {
+    // 1,000 byte-identical docs would emit ~500k pairs per band uncapped
+    val degenerate = (1L to 1000L).map(i => (i, "identical boilerplate page body"))
+    val normal = (2001L to 2040L).map(i => (i, s"regular document $i with its own words ${i * 7}"))
+    val df = (degenerate ++ normal).toDF("doc_id", "text")
+
+    // capture the observe() metric the op attaches (logged by its listener)
+    @volatile var dropped = -1L
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.lsh.buckets")) dropped = row.getAs[Long]("droppedBuckets")
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val pairs = Dedup.candidatePairs(df, "text", "doc_id", maxBucketWidth = 64).count()
+      assert(pairs < 10000, s"degenerate bucket not capped: $pairs pairs")
+      // the QueryExecutionListener fires async after the action completes
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(dropped == Dedup.Bands, s"expected ${Dedup.Bands} dropped buckets, saw $dropped")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("LSH cap leaves non-degenerate corpora untouched") {
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val uncapped = Dedup.candidatePairs(docs, "text", "doc_id", maxBucketWidth = Int.MaxValue).count()
+    val capped = Dedup.candidatePairs(docs, "text", "doc_id").count()
+    assert(uncapped == capped)
+  }
+
+  test("simhash near-dup join recovers planted pairs without a cross join") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val variant = base + " extramarker"
+    val h = java.lang.Long.bitCount(Dedup.simhash64(base) ^ Dedup.simhash64(variant))
+    assert(h > 0 && h <= 10, s"fixture drifted: hamming $h")
+    val docs = (Seq((1L, base), (2L, variant)) ++ (10L to 60L).map(i =>
+      (i, s"completely unrelated content piece $i " + ("y" + i) * 4))).toDF("doc_id", "text")
+    val nd = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 10)
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup join degenerated to a cross join:\n$plan")
+    val pairs = nd.collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L &&
+      r.getAs[Int]("hamming") == h), s"planted pair missing: ${pairs.mkString(";")}")
+    // hamming-0 (identical) pairs also recovered
+    val same = (Seq((1L, base), (2L, base))).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(same, "text", "doc_id", maxHamming = 0).count() == 1)
+  }
+
   test("simhash: near texts have small hamming distance, far texts large") {
     val a = "spark catalyst optimizer rewrites logical plans into physical plans"
     val aNear = a.replace("rewrites", "transforms")
@@ -139,6 +191,26 @@ class OpsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("IVF training sample draws across ALL partitions of a skewed corpus") {
+    // 4 clusters laid out so each range-partition holds exactly one cluster —
+    // the layout where limit(n) (the old code) would sample a single cluster
+    // and silently degrade recall
+    val rng = new java.util.SplittableRandom(5L)
+    val centers = Array.tabulate(4, 8)((c, d) => if (d == c * 2) 5.0 else rng.nextDouble())
+    val rows = (0L until 1000L).map { i =>
+      val c = centers((i / 250).toInt)
+      (i, c.map(x => (x + rng.nextDouble() * 0.1).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartitionByRange(4, col("vec_id"))
+    val sample = Similarity.hashSpreadSample(emb, 100)
+    val cents = centers.map(_.map(identity)) // Array[Array[Double]]
+    val hit = sample.map(v => Similarity.nearestCentroid(v, cents)).toSet
+    assert(hit == Set(0, 1, 2, 3), s"sample covered clusters $hit only")
+    // deterministic across invocations and partitionings
+    val sample2 = Similarity.hashSpreadSample(emb.repartition(13), 100)
+    assert(sample.map(_.toSeq).toSeq == sample2.map(_.toSeq).toSeq)
   }
 
   test("IVF: every corpus row lands in exactly one cell; centroids deterministic") {
