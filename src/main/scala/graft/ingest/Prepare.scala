@@ -27,9 +27,13 @@ object Prepare {
 
   private val enc = Encoders.product[TaggedRecord]
 
-  /** Content hash of one record — the per-row "random" coordinate. */
+  /** Content hash of one record — the per-row "random" coordinate.
+    * Tokens are joined with an explicit \\u0001 separator (written as an
+    * escape: a raw control char in source is invisible and was misread
+    * as "" during review — see CLAUDE.md gotchas).
+    */
   private def recHash(salt: String) =
-    xxhash64(concat_ws("", col("tokens")), col("source"), lit(salt), lit(Seed))
+    xxhash64(concat_ws("\u0001", col("tokens")), col("source"), lit(salt), lit(Seed))
 
   /** Uniform [0,1) from the record hash. */
   private def unit(salt: String) =

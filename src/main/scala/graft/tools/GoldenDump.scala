@@ -1,0 +1,112 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.Fixtures
+import graft.util.Hashing
+
+/** Dumps JVM-side golden values for the independent Python crosscheck
+  * (tools/graftcheck): SplittableRandom sequences, hash functions as Spark
+  * evaluates them (xxhash64 / murmur3 `hash`), and fixture row digests.
+  * The Python ports must reproduce every value bit-for-bit BEFORE their
+  * end-to-end recomputation is trusted (tools/graftcheck/selftest).
+  *
+  * Usage: runMain graft.tools.GoldenDump tools/graftcheck/goldens.json
+  */
+object GoldenDump {
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\t' => "\\t"
+    case '\r' => "\\r"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("tools/graftcheck/goldens.json")
+    val sb = new StringBuilder("{\n")
+
+    // --- java.util.SplittableRandom sequences --------------------------
+    val srSeeds = Seq(0L, 42L, -7L, 123456789L)
+    sb.append("\"splittable_random\": {")
+    sb.append(srSeeds.map { seed =>
+      val r1 = new java.util.SplittableRandom(seed)
+      val ints = (0 until 8).map(_ => r1.nextInt(100))
+      val r2 = new java.util.SplittableRandom(seed)
+      val pow2 = (0 until 4).map(_ => r2.nextInt(256))
+      val r3 = new java.util.SplittableRandom(seed)
+      val bools = (0 until 6).map(_ => r3.nextBoolean())
+      s""""$seed": {"nextInt100": [${ints.mkString(",")}], "nextInt256": [${pow2.mkString(",")}], "nextBoolean": [${bools.mkString(",")}]}"""
+    }.mkString(","))
+    sb.append("},\n")
+
+    // --- project hashes -------------------------------------------------
+    sb.append(s""""fnv1a64": {"hello": ${Hashing.fnv1a64("hello")}, "": ${Hashing.fnv1a64("")}, "the quick brown fox": ${Hashing.fnv1a64("the quick brown fox")}},\n""")
+    sb.append(s""""splitmix64": {"0": ${Hashing.splitmix64(0L)}, "12345": ${Hashing.splitmix64(12345L)}, "-9": ${Hashing.splitmix64(-9L)}},\n""")
+
+    // --- Spark expression hashes (as Catalyst evaluates them) ----------
+    val spark = SparkSession.builder().master("local[1]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def one(sql: String): String =
+      spark.sql(s"SELECT $sql AS v").head().get(0).toString
+    sb.append("\"spark_hashes\": {")
+    sb.append(s""""xxhash64_long_42": ${one("xxhash64(CAST(42 AS BIGINT))")},""")
+    sb.append(s""""xxhash64_long_neg": ${one("xxhash64(CAST(-123456789 AS BIGINT))")},""")
+    sb.append(s""""xxhash64_str_abc": ${one("xxhash64('abc')")},""")
+    sb.append(s""""xxhash64_str_long": ${one("xxhash64('abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox jumps')")},""")
+    sb.append(s""""xxhash64_multi": ${one("xxhash64('tok1tok2', 'src', 'cap', CAST(42 AS BIGINT))")},""")
+    sb.append(s""""murmur3_long4": ${one("hash(CAST(1 AS BIGINT), CAST(-2 AS BIGINT), CAST(300 AS BIGINT), CAST(-99999999999 AS BIGINT))")},""")
+    sb.append(s""""murmur3_long1": ${one("hash(CAST(7 AS BIGINT))")}""")
+    sb.append("},\n")
+
+    // --- fixture row digests --------------------------------------------
+    val idx = Seq(0L, 1L, 7L, 42L, 74L, 84L, 92L, 97L, 98L, 99L, 523L)
+    sb.append("\"fixture_rows\": {")
+    sb.append(idx.map { i =>
+      val (f, g) = Fixtures.genRow(i)
+      s""""$i": {"repo": ${jstr(f.repo)}, "path": ${jstr(f.path)}, "commit": ${jstr(f.commit)}, "lang": ${jstr(f.lang)}, "sha": ${jstr(Hashing.sha256Hex(f.content))}, "len": ${f.content.length}, "keep": ${g.expectedKeep}, "nSpans": ${g.expectedSpans.length}, "scrubSha": ${jstr(Hashing.sha256Hex(g.expectedScrubbed))}}"""
+    }.mkString(","))
+    sb.append("},\n")
+
+    // --- tagged fixture digests ------------------------------------------
+    val bio = graft.ingest.TaggedFixtures.rawBio(spark, 5).collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    sb.append("\"raw_bio_5\": [")
+    sb.append(bio.map { case (t, l) =>
+      s"""[${t.map(jstr).mkString("[", ",", "]")}, ${l.map(jstr).mkString("[", ",", "]")}]"""
+    }.mkString(","))
+    sb.append("],\n")
+
+    // --- multimodal digests ----------------------------------------------
+    val media = graft.ops.Multimodal.synthesize(spark, 4).collect().sortBy(_.media_id)
+    sb.append("\"media_4\": [")
+    sb.append(media.map { m =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(m.payload)
+        .map(b => f"${b & 0xff}%02x").mkString
+      s"""{"kind": ${jstr(m.kind)}, "len": ${m.payload.length}, "sha": ${jstr(sha)}}"""
+    }.mkString(","))
+    sb.append("],\n")
+
+    // --- langid/lm probes -------------------------------------------------
+    val lp = graft.langid.FastLangId.predict(graft.langid.LangCorpus.python)
+    val lm = graft.ppl.NgramLM.perplexity("def foo(x):\n    return x + 1\n")
+    sb.append(s""""langid_python_corpus": {"lang": ${jstr(lp.lang)}, "conf": ${lp.confidence}},\n""")
+    sb.append(s""""ppl_pydef": $lm,\n""")
+
+    // --- minhash / simhash ------------------------------------------------
+    val mh = graft.ops.Dedup.minhashSignature("the quick brown fox jumps over the lazy dog")
+    sb.append(s""""minhash_fox": [${mh.mkString(",")}],\n""")
+    sb.append(s""""simhash_fox": ${graft.ops.Dedup.simhash64("the quick brown fox jumps over the lazy dog")}\n""")
+
+    sb.append("}\n")
+    Files.writeString(Paths.get(out), sb.result())
+    println(s"[golden] wrote $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,352 @@
+#!/usr/bin/env python3
+"""Independent correctness crosscheck for the queries DuckDB can't oracle
+(q17-q22b, q27-q34): recompute every result in pure Python (tools/graftcheck
+— bit-exact ports of the fixture generators, hashes, langid/LM scoring,
+scrubber, dedup/ANN operators, validated against goldens.json) and compare
+against the Spark parquet written by graft.Verify.
+
+Usage: crosscheck.py <sfDir> <verifyOutDir> [--json CROSSCHECK.json]
+
+Comparison mirrors the driver: columns sorted by name, rows aligned on the
+non-float key columns; exact match for ints/strings/bools, |diff| <= 1e-9
+for doubles (both sides apply the same HALF_UP rounding the queries do).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+
+from graftcheck import dedup, fixtures, multimodal, pipeline, prepare, similarity, tagged
+from graftcheck.dedup import round_half_up
+from graftcheck.langmodels import langid_model
+
+FLOAT_TOL = 1e-9
+
+
+# ----------------------------------------------------------------------
+# expected-result builders (one per rows-only query)
+# ----------------------------------------------------------------------
+def load_docs(con, sf):
+    return con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def load_emb(con, sf):
+    return con.execute(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id").fetchall()
+
+
+def q17(docs):
+    groups = {}
+    m = langid_model()
+    for _id, text, lang, _src, _n in docs:
+        pred, conf = m.predict(text)
+        key = (lang, pred)
+        n, s = groups.get(key, (0, 0.0))
+        groups[key] = (n + 1, s + conf)
+    cols = ["lang", "pred_lang", "n", "avg_conf"]
+    rows = [(k[0], k[1], n, round_half_up(s / n, 3)) for k, (n, s) in groups.items()]
+    return cols, rows
+
+
+def _sigs(docs):
+    return {d[0]: dedup.minhash_signature(d[1]) for d in docs}
+
+
+def q18(docs, sigs):
+    per_band = {b: set() for b in range(dedup.BANDS)}
+    for _id, sig in sigs.items():
+        for b, key in dedup.band_buckets(sig):
+            per_band[b].add(key)
+    cols = ["band", "n_buckets", "n_docs"]
+    rows = [(b, len(per_band[b]), len(docs)) for b in range(dedup.BANDS)]
+    return cols, rows
+
+
+def q19(docs):
+    pairs = dedup.near_dup_pairs([(d[0], d[1]) for d in docs], min_jaccard=0.0)
+    pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
+    cols = ["a", "b", "est_jaccard"]
+    return cols, [tuple(p) for p in pairs[:100]]
+
+
+def q20(docs):
+    groups = {}
+    for _id, text, lang, _src, _n in docs:
+        groups.setdefault(lang, []).append(dedup.simhash64(text))
+    cols = ["lang", "n_docs", "n_distinct_simhash"]
+    return cols, [(l, len(v), len(set(v))) for l, v in groups.items()]
+
+
+def q20b(docs):
+    corpus = [(d[0], d[1]) for d in docs] + \
+             [(d[0] + 1000000, d[1] + " zz9marker") for d in docs]
+    nd = dedup.simhash_near_dups(corpus, max_hamming=8)
+    hist = {}
+    for h in nd.values():
+        hist[h] = hist.get(h, 0) + 1
+    cols = ["hamming", "n_pairs"]
+    return cols, sorted(hist.items())
+
+
+def _queries_of(emb):
+    return [(vid, v) for vid, v in emb if vid % 50 == 0]
+
+
+def q22(emb):
+    rows = similarity.lsh_top_k(emb, _queries_of(emb), k=5,
+                                n_tables=8, planes_per_table=6)
+    return ["query_id", "neighbor_id", "rank", "score"], rows
+
+
+def q22b(emb):
+    rows = similarity.ivf_top_k(emb, _queries_of(emb), k=5,
+                                n_centroids=16, n_probe=3, sample_size=2000)
+    return ["query_id", "neighbor_id", "rank", "score"], rows
+
+
+_analysis_cache = {}
+
+
+def _analyses(n):
+    for i in range(n):
+        if i not in _analysis_cache:
+            cf, gold = fixtures.gen_row(i)
+            _analysis_cache[i] = (cf, gold, pipeline.analyze_content(cf["content"]))
+        yield _analysis_cache[i]
+
+
+def q27():
+    groups = {}
+    for _cf, _gold, a in _analyses(5000):
+        key = (a["keep"], a["langIdLang"])
+        n, pii = groups.get(key, (0, 0))
+        groups[key] = (n + 1, pii + (1 if a["hasPii"] else 0))
+    cols = ["keep", "langIdLang", "n", "n_with_pii"]
+    return cols, [(k[0], k[1], n, p) for k, (n, p) in groups.items()]
+
+
+def q28():
+    counts = {}
+    for _cf, _gold, a in _analyses(5000):
+        for t in a["piiTypes"]:
+            counts[t] = counts.get(t, 0) + 1
+    return ["pii_type", "n_docs"], sorted(counts.items())
+
+
+def q29():
+    groups = {}
+    for m in multimodal.decode_meta(multimodal.synthesize(3000)):
+        g = groups.setdefault(m["kind"], [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += m["width"]
+        g[2] += m["sampleRate"]
+        g[3] += m["byteLen"]
+    cols = ["kind", "n", "avg_width", "avg_sample_rate", "total_bytes"]
+    rows = [(k, g[0], round_half_up(g[1] / g[0], 2), round_half_up(g[2] / g[0], 2), g[3])
+            for k, g in groups.items()]
+    return cols, rows
+
+
+def q30():
+    groups = {}
+    for _mid, fno, fhash in multimodal.frame_sample(multimodal.synthesize(1000)):
+        g = groups.setdefault(fno, [0, set()])
+        g[0] += 1
+        g[1].add(fhash)
+    cols = ["frame_no", "n_media", "n_distinct"]
+    return cols, [(fno, g[0], len(g[1])) for fno, g in groups.items()]
+
+
+def q31():
+    recs = tagged.consolidated(800)
+    groups = {}
+    for _toks, labels, src in recs:
+        g = groups.setdefault(src, [0, set()])
+        for l in labels:
+            if l.startswith("B-"):
+                g[0] += 1
+                g[1].add(l[2:])
+    cols = ["source", "n_mentions", "n_entity_types"]
+    return cols, [(s, g[0], len(g[1])) for s, g in groups.items()]
+
+
+def q32():
+    corpus = tagged.consolidated(800)
+    capped = prepare.cap_source(corpus, "finer_139", 1000)
+    cleaned, kept, dropped = prepare.drop_rare_entities(capped, threshold=50)
+    train, val, test = prepare.stratified_split(cleaned)
+    cols = ["split", "n_records", "aux"]
+    rows = [("train", len(train), len(kept)),
+            ("val", len(val), len(dropped)),
+            ("test", len(test), prepare.num_labels(kept)),
+            ("val_1p", len(prepare.stratified_subset(val)), 0),
+            ("test_1p", len(prepare.stratified_subset(test)), 0)]
+    return cols, rows
+
+
+def q33():
+    pred, gold = {}, {}
+    for cf, g, a in _analyses(4000):
+        doc = cf["commit"]
+        for e in a["entities"]:
+            k = (doc, e["start"], e["end"], e["type"])
+            pred[k] = pred.get(k, 0) + 1
+        for s, e2, cat in g["expectedSpans"]:
+            k = (doc, s, e2, cat)
+            gold[k] = gold.get(k, 0) + 1
+    per_cat = {}
+    for k, pc in pred.items():
+        cat = k[3]
+        tp, fp, fn = per_cat.get(cat, (0, 0, 0))
+        gc = gold.get(k)
+        if gc is None:
+            fp += pc
+        else:
+            tp += pc * gc
+        per_cat[cat] = (tp, fp, fn)
+    for k, gc in gold.items():
+        if k not in pred:
+            cat = k[3]
+            tp, fp, fn = per_cat.get(cat, (0, 0, 0))
+            per_cat[cat] = (tp, fp, fn + gc)
+
+    def prf(tp, fp, fn):
+        p = 0.0 if tp + fp == 0 else tp / (tp + fp)
+        r = 0.0 if tp + fn == 0 else tp / (tp + fn)
+        f = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+        return p, r, f
+
+    def rint4(x):
+        return round(x * 10000) / 10000  # Math.rint: half-to-even
+
+    rows = []
+    per_type = []
+    for cat in sorted(per_cat):
+        tp, fp, fn = per_cat[cat]
+        p, r, f = prf(tp, fp, fn)
+        per_type.append((cat, tp, fp, fn, p, r, f))
+        rows.append((cat, tp, fp, fn, rint4(p), rint4(r), rint4(f)))
+    tp = sum(t[1] for t in per_type)
+    fp = sum(t[2] for t in per_type)
+    fn = sum(t[3] for t in per_type)
+    p, r, f = prf(tp, fp, fn)
+    rows.append(("micro_avg", tp, fp, fn, rint4(p), rint4(r), rint4(f)))
+    n = max(1, len(per_type))
+    rows.append(("macro_avg", tp, fp, fn,
+                 rint4(sum(t[4] for t in per_type) / n),
+                 rint4(sum(t[5] for t in per_type) / n),
+                 rint4(sum(t[6] for t in per_type) / n)))
+    return ["category", "tp", "fp", "fn", "precision", "recall", "f1"], rows
+
+
+def q34():
+    recs = tagged.consolidated(600)
+    groups = {}
+    for toks, labels, src in recs:
+        g = groups.setdefault(src, [0, 0, 0, 0])  # records, tokens, mentions, withPii
+        g[0] += 1
+        g[1] += len(toks)
+        ents = sum(1 for l in labels if l.startswith("B-"))
+        g[2] += ents
+        g[3] += 1 if ents > 0 else 0
+    cols = ["source", "records", "tokens", "avgLen", "entityMentions", "piiRate"]
+    rows = [(s, g[0], g[1], round_half_up(g[1] / g[0], 2), g[2],
+             round_half_up(g[3] / g[0], 4)) for s, g in groups.items()]
+    return cols, rows
+
+
+# ----------------------------------------------------------------------
+# comparison
+# ----------------------------------------------------------------------
+def compare(name, spark_cols, spark_rows, exp_cols, exp_rows):
+    if sorted(spark_cols) != sorted(exp_cols):
+        return dict(match=False, why=f"schema spark={sorted(spark_cols)} "
+                                     f"python={sorted(exp_cols)}")
+    if len(spark_rows) != len(exp_rows):
+        return dict(match=False, why=f"rowcount spark={len(spark_rows)} "
+                                     f"python={len(exp_rows)}")
+    order = sorted(exp_cols)
+    s_idx = [spark_cols.index(c) for c in order]
+    e_idx = [exp_cols.index(c) for c in order]
+
+    def key(row, idx):
+        return tuple(str(row[i]) for i in idx
+                     if not isinstance(row[i], float))
+
+    s_sorted = sorted(spark_rows, key=lambda r: key(r, s_idx))
+    e_sorted = sorted(exp_rows, key=lambda r: key(r, e_idx))
+    for ri, (sr, er) in enumerate(zip(s_sorted, e_sorted)):
+        for ci in range(len(order)):
+            sv, ev = sr[s_idx[ci]], er[e_idx[ci]]
+            if isinstance(sv, float) or isinstance(ev, float):
+                if abs(float(sv) - float(ev)) > FLOAT_TOL:
+                    return dict(match=False, why=f"row {ri} col {order[ci]}: "
+                                                 f"spark={sv} python={ev}")
+            elif sv != ev:
+                return dict(match=False, why=f"row {ri} col {order[ci]}: "
+                                             f"spark={sv!r} python={ev!r}")
+    return dict(match=True, rows=len(exp_rows))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    out_json = sys.argv[sys.argv.index("--json") + 1] if "--json" in sys.argv else None
+    con = duckdb.connect()
+    docs = load_docs(con, sf_dir)
+    emb = load_emb(con, sf_dir)
+    sigs = _sigs(docs)
+
+    builders = {
+        "q17_langid_docs": lambda: q17(docs),
+        "q18_minhash_bands": lambda: q18(docs, sigs),
+        "q19_neardup_candidates": lambda: q19(docs),
+        "q20_simhash": lambda: q20(docs),
+        "q20b_simhash_neardup": lambda: q20b(docs),
+        "q22_ann_lsh": lambda: q22(emb),
+        "q22b_ann_ivf": lambda: q22b(emb),
+        "q27_pipeline_decisions": q27,
+        "q28_pii_scrub_stats": q28,
+        "q29_multimodal_meta": q29,
+        "q30_multimodal_frames": q30,
+        "q31_consolidate_report": q31,
+        "q32_prepare_splits": q32,
+        "q33_harness_report": q33,
+        "q34_corpus_eda": q34,
+    }
+    results = {}
+    ok = True
+    for name, build in builders.items():
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            results[name] = dict(match=False, why="spark output missing")
+            ok = False
+            continue
+        t0 = time.time()
+        cur = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        spark_cols = [d[0] for d in cur.description]
+        spark_rows = cur.fetchall()
+        exp_cols, exp_rows = build()
+        r = compare(name, spark_cols, spark_rows, exp_cols, exp_rows)
+        r["sec"] = round(time.time() - t0, 1)
+        results[name] = r
+        ok = ok and r["match"]
+        flag = "OK " if r["match"] else "BAD"
+        detail = f"rows={r.get('rows')}" if r["match"] else r["why"]
+        print(f"[{flag}] {name}: {detail} ({r['sec']}s)", flush=True)
+
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1)
+    n_ok = sum(1 for r in results.values() if r["match"])
+    print(f"crosscheck: {n_ok}/{len(results)} independently recomputed and matching")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

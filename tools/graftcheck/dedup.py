@@ -1,0 +1,138 @@
+"""Python port of graft.ops.Dedup: MinHash signatures, LSH band buckets
+(Spark murmur3 `hash()` keys), candidate pairs with the oversized-bucket
+cap, SimHash, and the prefix-band hamming join.
+"""
+import re
+from decimal import Decimal, ROUND_HALF_UP
+
+from .hashes import fnv1a64, splitmix64, spark_hash_longs, M64
+from .scrubber import java_trim
+
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+GOLDEN = 0x9E3779B97F4A7C15
+LONG_MAX = (1 << 63) - 1
+DEFAULT_MAX_BUCKET_WIDTH = 256
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def round_half_up(x, digits):
+    """Spark round(): BigDecimal HALF_UP on the shortest decimal repr."""
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits),
+                                           rounding=ROUND_HALF_UP))
+
+
+def shingle_hashes(text, shingle_len=7):
+    norm = java_trim(_WS.sub(" ", text.lower()))
+    if len(norm) < shingle_len:
+        return set() if not norm else {fnv1a64(norm)}
+    return {fnv1a64(norm[i:i + shingle_len])
+            for i in range(len(norm) - shingle_len + 1)}
+
+
+import numpy as _np
+_np.seterr(over="ignore")
+_J_GOLDEN = _np.arange(NUM_HASHES, dtype=_np.uint64) * _np.uint64(GOLDEN & M64)
+
+
+def _splitmix64_vec(x):
+    """Exact vectorized splitmix64 over uint64 (wrapping is mod-2^64,
+    identical to JVM long arithmetic)."""
+    z = x + _np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _np.uint64(27))) * _np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> _np.uint64(31))
+
+
+def minhash_signature(text, shingle_len=7):
+    shingles = shingle_hashes("" if text is None else text, shingle_len)
+    sig = _np.full(NUM_HASHES, LONG_MAX, dtype=_np.int64)
+    for s in shingles:
+        h = _splitmix64_vec(_np.uint64(s & M64) + _J_GOLDEN).view(_np.int64)
+        _np.minimum(sig, h, out=sig)
+    return [int(v) for v in sig]
+
+
+def band_buckets(sig):
+    """[(band, bucketKey)] — key is Spark hash() of the 4-long slice."""
+    return [(b, spark_hash_longs(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]))
+            for b in range(BANDS)]
+
+
+def candidate_pairs(docs, max_bucket_width=DEFAULT_MAX_BUCKET_WIDTH):
+    """docs: [(id, text)] → set of (a, b) with a < b; mirrors
+    Dedup.candidatePairs incl. the bucket-width cap."""
+    sigs = {i: minhash_signature(t) for i, t in docs}
+    buckets = {}
+    for i, _ in docs:
+        for bb in band_buckets(sigs[i]):
+            buckets.setdefault(bb, []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket_width:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    return pairs, sigs
+
+
+def near_dup_pairs(docs, min_jaccard=0.7, max_bucket_width=DEFAULT_MAX_BUCKET_WIDTH):
+    """→ [(a, b, est_jaccard rounded 4dp)] mirroring Dedup.nearDupPairs."""
+    pairs, sigs = candidate_pairs(docs, max_bucket_width)
+    out = []
+    for a, b in pairs:
+        sa, sb = sigs[a], sigs[b]
+        eq = sum(1 for x, y in zip(sa, sb) if x == y)
+        est = eq / NUM_HASHES
+        if est >= min_jaccard:
+            out.append((a, b, round_half_up(est, 4)))
+    return out
+
+
+def simhash64(text):
+    if not text:
+        return 0
+    votes = [0] * 64
+    for tok in _WS.split(text.lower()):
+        if tok:
+            h = fnv1a64(tok) & M64
+            for bit in range(64):
+                if (h >> bit) & 1:
+                    votes[bit] += 1
+                else:
+                    votes[bit] -= 1
+    out = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            out |= 1 << bit
+    return out  # unsigned 64-bit representation
+
+
+def simhash_near_dups(docs, max_hamming, max_bucket_width=DEFAULT_MAX_BUCKET_WIDTH):
+    """docs: [(id, text)] → {(a, b): hamming} mirroring Dedup.simhashNearDups."""
+    n_bands = max_hamming + 1
+    sims = {i: simhash64(t) for i, t in docs}
+    buckets = {}
+    for i, _ in docs:
+        sim = sims[i]
+        for b in range(n_bands):
+            lo = b * 64 // n_bands
+            hi = (b + 1) * 64 // n_bands
+            mask = (1 << (hi - lo)) - 1 if hi - lo < 64 else M64
+            buckets.setdefault((b, (sim >> lo) & mask), []).append(i)
+    out = {}
+    for ids in buckets.values():
+        if len(ids) > max_bucket_width:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, c = ids[x], ids[y]
+                if (a, c) not in out:
+                    h = bin(sims[a] ^ sims[c]).count("1")
+                    if h <= max_hamming:
+                        out[(a, c)] = h
+    return out

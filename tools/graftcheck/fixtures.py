@@ -1,0 +1,276 @@
+"""Python port of graft.fixtures.Fixtures (deterministic synthetic code
+corpus, seed 42) and graft.quality.Heuristics — reproduces CodeFile +
+GoldRow for any index bit-for-bit (validated against goldens.json digests).
+"""
+from .jrandom import SplittableRandom
+from .hashes import M64, sha256_hex
+from . import scrubber
+
+SEED = 42
+MEGA_REPO = "bigcorp/monorepo"
+KEEP_FRAC = 74
+GIBBERISH_TO = 84
+QUALITY_TO = 92
+MARKDOWN_TO = 97
+CODE_LANGS = ["scala", "python", "java", "javascript"]
+WORDS = ["order", "widget", "report", "batch", "cache", "index", "value", "result",
+         "config", "handler", "record", "buffer", "stream", "filter", "mapper",
+         "ledger", "metric", "signal", "bucket", "cursor", "vector", "matrix",
+         "packet", "window", "router", "worker", "broker", "parser", "runner",
+         "loader", "writer", "reader", "merger", "scaler", "tracer", "probe"]
+PATH_EXT = {"scala": "scala", "python": "py", "java": "java",
+            "javascript": "js", "markdown": "md"}
+MAX_CHARS = scrubber.MAX_CHARS
+
+
+def _mix(i):
+    z = (SEED ^ (i * 0x9E3779B97F4A7C15)) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return z ^ (z >> 31)
+
+
+def _cap(s):
+    """Scala String.capitalize: uppercase first char, REST UNCHANGED
+    (python str.capitalize lowercases the rest — not equivalent)."""
+    return s[:1].upper() + s[1:] if s else s
+
+
+def _word(rng):
+    return WORDS[rng.next_int(36)]
+
+
+def _ident(rng):
+    return _word(rng) + _cap(_word(rng))
+
+
+def _lower_alnum(rng, n):
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    return "".join(chars[rng.next_int(36)] for _ in range(n))
+
+
+class _Builder:
+    def __init__(self):
+        self.parts = []
+        self.length = 0
+        self.spans = []
+
+    def plain(self, s):
+        self.parts.append(s)
+        self.length += len(s)
+        return self
+
+    def pii(self, s, category):
+        start = self.length
+        self.plain(s)
+        self.spans.append((start, self.length, category))
+        return self
+
+    def line(self, s):
+        return self.plain(s).plain("\n")
+
+    def result(self):
+        return "".join(self.parts), list(self.spans)
+
+
+def _code_lines(lang, rng, blocks):
+    out = []
+    if lang == "scala":
+        out.append(f"package com.{_word(rng)}.{_word(rng)}")
+        out.append("import scala.collection.mutable.ArrayBuffer")
+        out.append(f"object {_cap(_ident(rng))} {{")
+        for _ in range(blocks):
+            a = _ident(rng)
+            b = _ident(rng)
+            k = rng.next_int(90) + 1
+            out.append(f"  final case class {_cap(a)}(id: Long, {b}: String)")
+            out.append(f"  def {a}Total(xs: Seq[Int]): Int = xs.foldLeft(0)(_ + _) + {k}")
+            out.append(f'  val {b}Defaults: Map[String, Int] = Map("{_word(rng)}" -> {k})')
+            out.append(f"  private def validate{_cap(a)}(x: {_cap(a)}): Boolean = x.id > 0")
+            out.append(f"  // {_word(rng)} {_word(rng)} helper for the {_word(rng)} stage")
+        out.append("}")
+    elif lang == "python":
+        out.append("import os")
+        out.append("import json")
+        out.append("from collections import defaultdict")
+        for bi in range(blocks):
+            a = _word(rng)
+            b = _word(rng)
+            k = rng.next_int(90) + 1
+            out.append(f"def load_{a}_{bi}(path):")
+            out.append(f"    with open(path, 'r', encoding='utf-8') as handle:  # {a}")
+            out.append(f"        return [json.loads(line) for line in handle if line.strip()]  # {bi}")
+            out.append(f"class {_cap(a)}{_cap(b)}{bi}:")
+            out.append(f"    def __init__(self, threshold={k}):")
+            out.append(f"        self.threshold = threshold  # {a} {bi}")
+            out.append(f"        self.counts = defaultdict(int)  # {b}")
+            out.append(f"    # {_word(rng)} {_word(rng)} accumulator for the {_word(rng)} stage")
+    elif lang == "java":
+        out.append(f"package com.{_word(rng)}.{_word(rng)};")
+        out.append("import java.util.ArrayList;")
+        out.append("import java.util.HashMap;")
+        out.append(f"public final class {_cap(_ident(rng))} {{")
+        for bi in range(blocks):
+            a = _word(rng)
+            k = rng.next_int(90) + 1
+            out.append(f"    private final Map<String, Integer> {a}Stock{bi} = new HashMap<>();")
+            out.append(f"    public synchronized void add{_cap(a)}{bi}(String name, int quantity) {{")
+            out.append(f"        if (quantity <= {bi}) {{ // {a}")
+            out.append(f'            throw new IllegalArgumentException("quantity must be positive" + {bi});')
+            out.append("        }")
+            out.append(f"        {a}Stock{bi}.merge(name, quantity + {k}, Integer::sum);")
+            out.append("    }")
+            out.append(f"    // {_word(rng)} {_word(rng)} mutator for the {_word(rng)} stage")
+        out.append("}")
+    elif lang == "javascript":
+        out.append("'use strict';")
+        out.append("const fs = require('fs');")
+        out.append("const path = require('path');")
+        for bi in range(blocks):
+            a = _word(rng)
+            k = rng.next_int(90) + 1
+            out.append(f"function read{_cap(a)}{bi}(dir) {{")
+            out.append(f"  const file{bi} = path.join(dir, '{_word(rng)}.json');")
+            out.append(f"  if (!fs.existsSync(file{bi})) return {{ retries: {k}, verbose: false }};")
+            out.append(f"  return JSON.parse(fs.readFileSync(file{bi}, 'utf8'));")
+            out.append("}")
+            out.append(f"const {a}Handlers{bi} = new Map();")
+            out.append(f"// {_word(rng)} {_word(rng)} dispatcher for the {_word(rng)} stage")
+    else:
+        raise ValueError(lang)
+    return out
+
+
+def _markdown_lines(rng, blocks):
+    out = [f"# {_cap(_word(rng))} {_cap(_word(rng))} Overview", ""]
+    for _ in range(blocks):
+        out.append(f"## {_cap(_word(rng))} {_word(rng)}")
+        out.append("")
+        out.append(f"This document describes the {_word(rng)} and the main design decisions")
+        out.append(f"of the {_word(rng)} service, which provides a reliable platform for")
+        out.append(f"processing customer {_word(rng)} events at scale in production.")
+        out.append("")
+        out.append(f"- Install the required {_word(rng)} tools listed in the guide.")
+        out.append(f"- Run the {_word(rng)} suite to make sure everything works.")
+        out.append("")
+    return out
+
+
+def _plant_pii(b, comment, rng, which):
+    if which == 0:
+        b.plain(f"{comment} contact: ")
+        b.pii(f"{_lower_alnum(rng, 5)}.{_word(rng)}@example{rng.next_int(9)}.com", "EMAIL")
+        b.plain(" for details").plain("\n")
+    elif which == 1:
+        b.plain(f"{comment} upstream host ")
+        b.pii(f"10.{rng.next_int(256)}.{rng.next_int(256)}.{rng.next_int(255) + 1}", "IP_ADDRESS")
+        b.plain(" (internal)").plain("\n")
+    elif which == 2:
+        b.plain(f"{comment} listen on ")
+        b.pii("2001:db8::%x" % (rng.next_int(0xFFFF) + 1), "IP_ADDRESS")
+        b.plain(" port 8080").plain("\n")
+    elif which == 3:
+        b.plain(f"{comment} oncall ")
+        b.pii("+1-555-%03d-%04d" % (rng.next_int(1000), rng.next_int(10000)), "PHONE")
+        b.plain(" after hours").plain("\n")
+    elif which == 4:
+        b.plain(f"{comment} legacy key ")
+        b.pii(f"sk_live_{_lower_alnum(rng, 16)}", "SECRET")
+        b.plain(" do not use").plain("\n")
+    else:
+        b.plain('API_KEY = "')
+        b.pii(_lower_alnum(rng, 20), "SECRET")
+        b.plain('"').plain("\n")
+
+
+def gen_row(i):
+    """→ (code_file dict, gold dict) mirroring Fixtures.genRow(i)."""
+    rng = SplittableRandom(_mix(i))
+    bucket = i % 100
+    if QUALITY_TO <= bucket < MARKDOWN_TO:
+        actual_lang = "markdown"
+    else:
+        actual_lang = CODE_LANGS[rng.next_int(4)]
+    if rng.next_int(10) == 0:
+        claimed_lang = CODE_LANGS[rng.next_int(4)]
+    else:
+        claimed_lang = actual_lang
+    if rng.next_int(100) < 30:
+        repo = MEGA_REPO
+    else:
+        repo = f"org{rng.next_int(40)}/repo{rng.next_int(8)}"
+    d = ["src", "lib", "app", "core"][rng.next_int(4)]
+    path = f"{d}/{_word(rng)}/{_word(rng)}_{i}.{PATH_EXT[actual_lang]}"
+    commit = sha256_hex(f"{repo}/{path}#{i}")[:40]
+
+    b = _Builder()
+    expected_keep = True
+    expected_error = False
+
+    if bucket < KEEP_FRAC:
+        blocks = rng.next_int(4) + 2
+        lines = _code_lines(actual_lang, rng, blocks)
+        comment = "#" if actual_lang == "python" else "//"
+        with_pii = rng.next_int(100) < 40
+        n_pii = rng.next_int(3) + 1 if with_pii else 0
+        insert_every = max(1, len(lines) // (n_pii + 1)) if n_pii > 0 else None
+        planted = 0
+        for li, l in enumerate(lines):
+            b.line(l)
+            if insert_every is not None and planted < n_pii and (li + 1) % insert_every == 0:
+                _plant_pii(b, comment, rng, rng.next_int(6))
+                planted += 1
+        while planted < n_pii:
+            _plant_pii(b, comment, rng, rng.next_int(6))
+            planted += 1
+    elif bucket < GIBBERISH_TO:
+        alphabet = "abcdefghijklmnopqrstuvwxyz qzxjvkw"
+        for _ in range(40):
+            b.line("".join(alphabet[rng.next_int(34)] for _ in range(60)))
+        expected_keep = False
+    elif bucket < QUALITY_TO:
+        for l in _code_lines(actual_lang, rng, 2):
+            b.line(l)
+        case = rng.next_int(3)
+        if case == 0:
+            b.line("x" * 3000)
+        elif case == 1:
+            rep = f"    {_word(rng)}Stock.merge(name, quantity, Integer::sum); // repeated"
+            for _ in range(60):
+                b.line(rep)
+        else:
+            punct = "+-*/{}[]()<>=!&|;,~^% "
+            for _ in range(60):
+                b.line("".join(punct[rng.next_int(22)] for _ in range(70)))
+        expected_keep = False
+    elif bucket < MARKDOWN_TO:
+        for l in _markdown_lines(rng, rng.next_int(3) + 2):
+            b.line(l)
+        expected_keep = False
+    else:
+        if bucket == 97:
+            pass
+        elif bucket == 98:
+            b.plain("   \n\t  \n")
+        else:
+            filler = "val x = 1 // padding line to exceed the maximum size\n"
+            reps = MAX_CHARS // len(filler) + 2
+            for _ in range(reps):
+                b.plain(filler)
+        expected_keep = False
+        expected_error = True
+
+    content, spans = b.result()
+    if expected_error or not spans:
+        scrubbed = content
+    else:
+        scrubbed = content
+        for s, e, _cat in sorted(spans, key=lambda x: -x[0]):
+            scrubbed = scrubbed[:s] + "[REDACTED]" + scrubbed[e:]
+
+    code_file = dict(repo=repo, path=path, commit=commit,
+                     lang=claimed_lang, content=content)
+    gold = dict(repo=repo, path=path, commit=commit, expectedKeep=expected_keep,
+                expectedSpans=[] if expected_error else spans,
+                expectedScrubbed=scrubbed, expectedError=expected_error)
+    return code_file, gold

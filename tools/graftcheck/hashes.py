@@ -1,0 +1,184 @@
+"""Bit-exact ports of every hash the graft engine uses:
+
+- graft.util.Hashing.fnv1a64 / splitmix64 (src/main/scala/graft/util/Hashing.scala)
+- Spark's Murmur3 `hash()` over BIGINT columns (seed 42) — the MinHash LSH
+  band-bucket key (graft.ops.Dedup.lshBuckets)
+- Spark's `xxhash64()` over BIGINT/STRING columns (seed 42) — the IVF
+  training sample order and Prepare's record hash
+
+Validated bit-for-bit against tools/graftcheck/goldens.json.
+"""
+
+M64 = (1 << 64) - 1
+M32 = (1 << 32) - 1
+
+
+def i64(x):
+    x &= M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def i32(x):
+    x &= M32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+# ----------------------------------------------------------------------
+# graft.util.Hashing
+# ----------------------------------------------------------------------
+def fnv1a64(s):
+    """FNV-1a over UTF-16 code units (Scala charAt semantics)."""
+    h = 0xCBF29CE484222325
+    for b0, b1 in zip(*[iter(s.encode("utf-16-le"))] * 2):
+        h ^= b0 | (b1 << 8)
+        h = (h * 0x100000001B3) & M64
+    return i64(h)
+
+
+def splitmix64(x):
+    z = (x + 0x9E3779B97F4A7C15) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return i64(z ^ (z >> 31))
+
+
+# ----------------------------------------------------------------------
+# Spark Murmur3_x86_32 (seed 42) — hash() over BIGINT columns
+# ----------------------------------------------------------------------
+def _rotl32(x, n):
+    x &= M32
+    return ((x << n) | (x >> (32 - n))) & M32
+
+
+def _mix_k1(k1):
+    k1 = (k1 * 0xCC9E2D51) & M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & M32
+
+
+def _mix_h1(h1, k1):
+    h1 = (h1 ^ k1) & M32
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & M32
+
+
+def _fmix(h1, length):
+    h1 = (h1 ^ length) & M32
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def murmur3_hash_long(value, seed):
+    """Murmur3_x86_32.hashLong(input, seed) — Spark's long-column hash."""
+    v = value & M64
+    low = v & M32
+    high = v >> 32
+    h1 = _mix_h1(seed & M32, _mix_k1(low))
+    h1 = _mix_h1(h1, _mix_k1(high))
+    return i32(_fmix(h1, 8))
+
+
+def spark_hash_longs(values, seed=42):
+    """Spark `hash(c1, c2, ...)` over BIGINT columns: fold hashLong."""
+    h = seed & M32
+    for v in values:
+        h = murmur3_hash_long(v, h) & M32
+    return i32(h)
+
+
+# ----------------------------------------------------------------------
+# XXH64 (Spark XxHash64, seed 42)
+# ----------------------------------------------------------------------
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x, n):
+    x &= M64
+    return ((x << n) | (x >> (64 - n))) & M64
+
+
+def _xxh_fmix(h):
+    h &= M64
+    h ^= h >> 33
+    h = (h * P2) & M64
+    h ^= h >> 29
+    h = (h * P3) & M64
+    h ^= h >> 32
+    return h
+
+
+def _round(acc, inp):
+    acc = (acc + inp * P2) & M64
+    acc = _rotl64(acc, 31)
+    return (acc * P1) & M64
+
+
+def xxh64_long(value, seed):
+    """Spark XXH64.hashLong — 8-byte primitive fast path."""
+    h = (seed + P5 + 8) & M64
+    h ^= (_rotl64((value & M64) * P2 & M64, 31) * P1) & M64
+    h = (_rotl64(h, 27) * P1 + P4) & M64
+    return i64(_xxh_fmix(h))
+
+
+def xxh64_bytes(data, seed):
+    """Standard XXH64 over a byte string (Spark UTF8String path)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M64
+        v2 = (seed + P2) & M64
+        v3 = seed & M64
+        v4 = (seed - P1) & M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * P1 + P4) & M64
+    else:
+        h = (seed + P5) & M64
+    h = (h + n) & M64
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl64(h, 27) * P1 + P4) & M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * P1) & M64
+        h = (_rotl64(h, 23) * P2 + P3) & M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M64
+        h = (_rotl64(h, 11) * P1) & M64
+        i += 1
+    return i64(_xxh_fmix(h))
+
+
+def spark_xxhash64(cols, seed=42):
+    """Spark `xxhash64(c1, c2, ...)`: fold per column; int → long fast path,
+    str → UTF-8 bytes."""
+    h = seed
+    for c in cols:
+        if isinstance(c, int):
+            h = xxh64_long(c, h & M64)
+        elif isinstance(c, str):
+            h = xxh64_bytes(c.encode("utf-8"), h & M64)
+        else:
+            raise TypeError(type(c))
+    return i64(h)
+
+
+def sha256_hex(s):
+    import hashlib
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()

@@ -1,0 +1,71 @@
+"""Bit-exact Python port of java.util.SplittableRandom (OpenJDK semantics).
+
+The graft fixture generators (graft.fixtures.Fixtures, ingest.TaggedFixtures,
+ops.Multimodal) derive every row from SplittableRandom(seed-mixed index), so
+an independent recomputation must reproduce the JDK sequence exactly.
+Validated bit-for-bit against tools/graftcheck/goldens.json (selftest).
+"""
+
+M64 = (1 << 64) - 1
+M32 = (1 << 32) - 1
+GOLDEN_GAMMA = 0x9E3779B97F4A7C15
+
+
+def _i64(x):
+    """wrap to signed 64-bit"""
+    x &= M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _i32(x):
+    x &= M32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def mix64(z):
+    z &= M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return z ^ (z >> 31)
+
+
+def mix32(z):
+    z &= M64
+    z = ((z ^ (z >> 33)) * 0x62A9D9ED799705F5) & M64
+    return ((z ^ (z >> 28)) * 0xCB24D0A5C88C35B3 & M64) >> 32  # unsigned 32-bit
+
+
+class SplittableRandom:
+    def __init__(self, seed):
+        self.seed = seed & M64
+        self.gamma = GOLDEN_GAMMA
+
+    def _next_seed(self):
+        self.seed = (self.seed + self.gamma) & M64
+        return self.seed
+
+    def next_long(self):
+        return _i64(mix64(self._next_seed()))
+
+    def next_int(self, bound=None):
+        if bound is None:
+            return _i32(mix32(self._next_seed()))
+        if bound <= 0:
+            raise ValueError("bound must be positive")
+        r = _i32(mix32(self._next_seed()))
+        m = bound - 1
+        if (bound & m) == 0:  # power of two
+            return r & m
+        # JDK rejection loop (signed 32-bit overflow semantics)
+        u = (r & M32) >> 1  # logical >>> 1 of the signed int
+        r = u % bound
+        while _i32(u + m - r) < 0:
+            u = (mix32(self._next_seed())) >> 1
+            r = u % bound
+        return r
+
+    def next_boolean(self):
+        return _i32(mix32(self._next_seed())) < 0
+
+    def next_double(self):
+        return (mix64(self._next_seed()) >> 11) * (2.0 ** -53)

@@ -1,0 +1,197 @@
+"""Python ports of graft.langid.FastLangId (hashed 2+3-gram profiles) and
+graft.ppl.NgramLM (char-trigram add-k perplexity).
+
+The training corpora (graft.langid.LangCorpus) are DATA embedded as Scala
+stripMargin literals; parse them out of the source file so there is a single
+source of truth. The scoring algorithms themselves are reimplemented here
+from scratch and validated against goldens.json probes.
+"""
+import math
+import os
+import re
+
+LANGS = ["scala", "python", "java", "javascript", "markdown"]
+KEEP_LANGS = {"scala", "python", "java", "javascript"}
+DIM = 1 << 15
+MAX_FEATURE_CHARS = 4000
+M32 = (1 << 32) - 1
+
+_SRC = os.path.join(os.path.dirname(__file__),
+                    "../../src/main/scala/graft/langid/LangCorpus.scala")
+
+
+def load_corpora(path=_SRC):
+    src = open(path, encoding="utf-8").read()
+    out = {}
+    for lang in LANGS:
+        m = re.search(
+            r'val %s: String =\s*"""(.*?)""".stripMargin' % lang, src, re.DOTALL)
+        body = m.group(1)
+        lines = body.split("\n")
+        # stripMargin: drop everything up to and including the first '|'
+        def strip_margin(l):
+            i = l.find("|")
+            return l[i + 1:] if i >= 0 else l
+        out[lang] = lines[0] + "\n".join(strip_margin(l) for l in lines[1:])
+        # Scala: """first\n      |second...""" — first line is raw
+        out[lang] = "\n".join([lines[0]] + [strip_margin(l) for l in lines[1:]])
+    return out
+
+
+# ----------------------------------------------------------------------
+# FastLangId
+# ----------------------------------------------------------------------
+def _hash_ngram(s, frm, until):
+    h = 0x811C9DC5
+    for i in range(frm, until):
+        h = (h ^ ord(s[i])) & M32
+        h = (h * 0x01000193) & M32
+    return (h & 0x7FFFFFFF) % DIM
+
+
+def features(text):
+    s = text[:MAX_FEATURE_CHARS].lower()
+    counts = {}
+    n = len(s)
+    for i in range(n):
+        if i + 2 <= n:
+            k = _hash_ngram(s, i, i + 2)
+            counts[k] = counts.get(k, 0.0) + 1.0
+        if i + 3 <= n:
+            k = _hash_ngram(s, i, i + 3)
+            counts[k] = counts.get(k, 0.0) + 1.0
+    norm = math.sqrt(sum(v * v for v in counts.values()))
+    if norm == 0.0:
+        return {}
+    return {k: v / norm for k, v in counts.items()}
+
+
+class LangIdModel:
+    def __init__(self, corpora):
+        import numpy as np
+        self.langs = list(LANGS)
+        # profiles stored as float32 like the Scala Array[Float]
+        self.profiles = []
+        for lang in self.langs:
+            dense = [0.0] * DIM
+            for k, v in features(corpora[lang]).items():
+                dense[k] = float(np.float32(v))
+            self.profiles.append(dense)
+        # sparse key → [(langIdx, float64(profile value))] for zero-skipping:
+        # adding 0.0 to a finite double is an exact identity, so skipping the
+        # zero adds reproduces the Scala sequential accumulation bit-for-bit
+        self.sparse = {}
+        for li, prof in enumerate(self.profiles):
+            for k, v in enumerate(prof):
+                if v != 0.0:
+                    self.sparse.setdefault(k, []).append((li, v))
+
+    def predict(self, text):
+        if text is None or text == "":
+            return ("unknown", 0.0)
+        s = text[:MAX_FEATURE_CHARS].lower()
+        n = len(s)
+        nl = len(self.langs)
+        dots = [0.0] * nl
+        any2 = False
+        sparse = self.sparse
+        for i in range(n):
+            if i + 2 <= n:
+                any2 = True
+                hits = sparse.get(_hash_ngram(s, i, i + 2))
+                if hits:
+                    for li, v in hits:
+                        dots[li] += v
+            if i + 3 <= n:
+                hits = sparse.get(_hash_ngram(s, i, i + 3))
+                if hits:
+                    for li, v in hits:
+                        dots[li] += v
+        if not any2:
+            return ("unknown", 0.0)
+        best, best_score, sum_pos = -1, 0.0, 0.0
+        for li in range(nl):
+            sc = dots[li]
+            if sc > 0:
+                sum_pos += sc
+            if sc > best_score:
+                best_score, best = sc, li
+        if best < 0 or sum_pos <= 0:
+            return ("unknown", 0.0)
+        return (self.langs[best], best_score / sum_pos)
+
+
+# ----------------------------------------------------------------------
+# NgramLM
+# ----------------------------------------------------------------------
+MAX_SCORED_CHARS = 4000
+ADD_K = 0.1
+DOUBLE_MAX = 1.7976931348623157e308
+
+
+def _cls(c):
+    if c.isalpha():
+        return c.lower()
+    if c.isdigit():
+        return "9"
+    if c.isspace():
+        return " "
+    if ord(c) < 128:
+        return c
+    return "ÿ"
+
+
+class NgramModel:
+    def __init__(self, all_text):
+        text = "".join(_cls(c) for c in all_text)
+        self.tri, self.bi = {}, {}
+        vocab = set()
+        n = len(text)
+        for i in range(n):
+            vocab.add(text[i])
+            if i + 2 < n:
+                k3 = (text[i], text[i + 1], text[i + 2])
+                self.tri[k3] = self.tri.get(k3, 0) + 1
+            if i + 1 < n:
+                k2 = (text[i], text[i + 1])
+                self.bi[k2] = self.bi.get(k2, 0) + 1
+        self.vocab_size = len(vocab)
+
+    def perplexity(self, text):
+        if text is None or len(text) < 3:
+            return DOUBLE_MAX
+        n = min(len(text), MAX_SCORED_CHARS)
+        log_sum, count = 0.0, 0
+        a, b = _cls(text[0]), _cls(text[1])
+        denom_add = ADD_K * self.vocab_size
+        tri, bi = self.tri, self.bi
+        for i in range(2, n):
+            c = _cls(text[i])
+            tri_c = tri.get((a, b, c), 0)
+            bi_c = bi.get((a, b), 0)
+            log_sum += math.log((tri_c + ADD_K) / (bi_c + denom_add))
+            count += 1
+            a, b = b, c
+        return DOUBLE_MAX if count == 0 else math.exp(-log_sum / count)
+
+
+_corpora = None
+_langid = None
+_lm = None
+
+
+def langid_model():
+    global _corpora, _langid
+    if _langid is None:
+        _corpora = load_corpora()
+        _langid = LangIdModel(_corpora)
+    return _langid
+
+
+def lm_model():
+    global _corpora, _lm
+    if _lm is None:
+        if _corpora is None:
+            _corpora = load_corpora()
+        _lm = NgramModel("\n".join(_corpora[l] for l in LANGS))
+    return _lm

@@ -1,0 +1,58 @@
+"""Python port of graft.ops.Multimodal synthesize/decodeMeta/frameSample —
+validates the q29/q30 plumbing end to end (the decode stub itself is the
+deterministic header parse, so the whole path is recomputable).
+"""
+import hashlib
+
+from .jrandom import SplittableRandom
+from .hashes import splitmix64, fnv1a64, M64
+
+KINDS = ["image", "audio", "video"]
+
+
+def synthesize(n):
+    for i in range(n):
+        rng = SplittableRandom(splitmix64(i) & M64)
+        kind = KINDS[i % 3]
+        width = 16 + rng.next_int(64)
+        height = 16 + rng.next_int(64)
+        sample_rate = 8000 + rng.next_int(8) * 1000 if kind == "audio" else 0
+        n_frames = 1 + rng.next_int(30) if kind == "video" else 1
+        body_len = 256 + rng.next_int(1024)
+        payload = bytearray(16 + body_len)
+        payload[0:3] = b"GRF"
+        payload[3] = ord(kind[0])
+        payload[4] = (width >> 8) & 0xFF
+        payload[5] = width & 0xFF
+        payload[6] = (height >> 8) & 0xFF
+        payload[7] = height & 0xFF
+        payload[8] = (sample_rate >> 16) & 0xFF
+        payload[9] = (sample_rate >> 8) & 0xFF
+        payload[10] = sample_rate & 0xFF
+        payload[11] = n_frames & 0xFF
+        for j in range(16, len(payload)):
+            payload[j] = rng.next_int(256) & 0xFF
+        yield dict(media_id=i, kind=kind, payload=bytes(payload),
+                   width=width, height=height, sampleRate=sample_rate,
+                   nFrames=n_frames)
+
+
+def decode_meta(media):
+    for m in media:
+        p = m["payload"]
+        width = (p[4] << 8) | p[5]
+        height = (p[6] << 8) | p[7]
+        sample_rate = (p[8] << 16) | (p[9] << 8) | p[10]
+        n_frames = p[11]
+        yield dict(media_id=m["media_id"], kind=m["kind"], width=width,
+                   height=height, sampleRate=sample_rate, nFrames=n_frames,
+                   byteLen=len(p), payloadSha=hashlib.sha256(p).hexdigest())
+
+
+def frame_sample(media, stride=4):
+    for m in media:
+        body = m["payload"][16:]
+        frames = [body[i:i + 256] for i in range(0, len(body), 256)]
+        for fi in range(0, len(frames), stride):
+            s = "".join(chr(b & 0x7F) for b in frames[fi])
+            yield (m["media_id"], fi, fnv1a64(s))

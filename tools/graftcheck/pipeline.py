@@ -1,0 +1,65 @@
+"""Python port of graft.quality.Heuristics + graft.pipeline.QualityFilter's
+per-row analysis: langid + perplexity + heuristics + scrub → keep/drop,
+entities, scrubbed content. Used to independently recompute q27/q28/q33.
+"""
+from . import scrubber
+from .langmodels import langid_model, lm_model, KEEP_LANGS
+
+MIN_LANG_CONF = 0.22
+MAX_PPL = 30.0
+MAX_LINE_LEN = 1000
+MAX_AVG_LINE_LEN = 300.0
+MIN_ALNUM_RATIO = 0.25
+MAX_DUP_LINE_FRAC = 0.50
+
+
+def heuristics_stats(content):
+    if not content:
+        return dict(nLines=0, maxLineLen=0, avgLineLen=0.0, alnumRatio=0.0, dupLineFrac=0.0)
+    alnum = sum(1 for c in content if c.isalnum())
+    alnum_ratio = alnum / len(content)
+    lines = content.split("\n")
+    max_len = 0
+    total_len = 0
+    seen = set()
+    substantial = 0
+    dups = 0
+    for line in lines:
+        if len(line) > max_len:
+            max_len = len(line)
+        total_len += len(line)
+        t = scrubber.java_trim(line)
+        if len(t) >= 10:
+            substantial += 1
+            if t in seen:
+                dups += 1
+            else:
+                seen.add(t)
+    avg = total_len / len(lines) if lines else 0.0
+    dup_frac = dups / substantial if substantial > 0 else 0.0
+    return dict(nLines=len(lines), maxLineLen=max_len, avgLineLen=avg,
+                alnumRatio=alnum_ratio, dupLineFrac=dup_frac)
+
+
+def heuristics_pass(q):
+    return (q["maxLineLen"] <= MAX_LINE_LEN
+            and q["avgLineLen"] <= MAX_AVG_LINE_LEN
+            and q["alnumRatio"] >= MIN_ALNUM_RATIO
+            and q["dupLineFrac"] <= MAX_DUP_LINE_FRAC)
+
+
+def analyze_content(content):
+    """Mirror of QualityFilter.analyzeContent with default Config."""
+    s = scrubber.scrub(content)
+    if s["error"] is not None:
+        return dict(langIdLang="unknown", langIdConf=0.0, perplexity=-1.0,
+                    hasPii=False, piiTypes=[], entities=[],
+                    scrubbedContent=s["scrubbed"], keep=False, error=s["error"])
+    lang, conf = langid_model().predict(content)
+    ppl = lm_model().perplexity(content)
+    q = heuristics_stats(content)
+    keep = (lang in KEEP_LANGS and conf >= MIN_LANG_CONF
+            and ppl <= MAX_PPL and heuristics_pass(q))
+    return dict(langIdLang=lang, langIdConf=conf, perplexity=ppl,
+                hasPii=s["hasPii"], piiTypes=s["piiTypes"], entities=s["entities"],
+                scrubbedContent=s["scrubbed"], keep=keep, error=None)

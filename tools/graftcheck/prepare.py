@@ -1,0 +1,85 @@
+"""Python port of graft.ingest.Prepare for the q32 lifecycle: source cap
+(hash-rank), rare-entity drop, hash-range stratified split, 1% subset,
+label mapping. Every random decision is xxhash64 of record content, exactly
+as the Scala code computes it.
+"""
+import math
+
+from .hashes import spark_xxhash64
+
+SEED = 42
+
+
+def rec_hash(tokens, source, salt):
+    """Mirror of Prepare.recHash: xxhash64 of the \\u0001-joined tokens,
+    source, salt, 42L (the Scala side uses concat_ws with an explicit
+    \\u0001 separator)."""
+    return spark_xxhash64(["\u0001".join(tokens), source, salt, SEED])
+
+
+def cap_source(records, source, cap):
+    """records: [(tokens, labels, source)] — hash-rank cap of one source."""
+    tgt = [r for r in records if r[2] == source]
+    rest = [r for r in records if r[2] != source]
+    tgt.sort(key=lambda r: (rec_hash(r[0], r[2], "cap"), r[0][0]))
+    return rest + tgt[:cap]
+
+
+def drop_rare_entities(records, threshold):
+    counts = {}
+    for tokens, labels, _src in records:
+        for l in labels:
+            if l.startswith("B-"):
+                etype = l[2:]
+                counts[etype] = counts.get(etype, 0) + 1
+    dropped = sorted(t for t, c in counts.items() if c < threshold)
+    kept = sorted(t for t, c in counts.items() if c >= threshold)
+    if not dropped:
+        return records, kept, dropped
+    dset = set(dropped)
+    out = []
+    for tokens, labels, src in records:
+        new_labels = []
+        for l in labels:
+            if l == "O":
+                new_labels.append("O")
+            elif l.startswith("B-") or l.startswith("I-"):
+                new_labels.append("O" if l[2:] in dset else l)
+            else:
+                new_labels.append("O")
+        out.append((tokens, new_labels, src))
+    return out, kept, dropped
+
+
+def _unit(tokens, source, salt):
+    h = rec_hash(tokens, source, salt)
+    return ((h % 1000000000) + 1000000000) % 1000000000 / 1000000000.0
+
+
+def stratified_split(records, train_ratio=0.8, val_ratio=0.1):
+    train, val, test = [], [], []
+    for r in records:
+        u = _unit(r[0], r[2], "split")
+        if u < train_ratio:
+            train.append(r)
+        elif u < train_ratio + val_ratio:
+            val.append(r)
+        else:
+            test.append(r)
+    return train, val, test
+
+
+def stratified_subset(records, fraction=0.01):
+    by_source = {}
+    for r in records:
+        by_source.setdefault(r[2], []).append(r)
+    out = []
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: (rec_hash(r[0], r[2], "subset"), r[0][0]))
+        take = max(1, math.floor(len(rs) * fraction))
+        out.extend(rs[:take])
+    return out
+
+
+def num_labels(kept):
+    return 1 + 2 * len(kept)

@@ -1,0 +1,89 @@
+"""Python port of graft.scrub.Scrubber (regex PII extraction + splice
+redaction). Patterns are the same possessive-quantifier regexes (Python
+3.11+ supports ++ / {n}+); re.ASCII pins \\w \\d \\s \\b to the Java ASCII
+semantics the Scala engine uses.
+"""
+import re
+
+MAX_CHARS = 50000
+REDACTION = "[REDACTED]"
+ERR_EMPTY = "Empty input: text must not be empty or whitespace-only"
+ERR_TOO_LARGE = f"Input too large: text exceeds {MAX_CHARS} characters"
+ERR_NULL = "Invalid input type: text must be a string"
+
+A = re.ASCII
+EMAIL = re.compile(r"[A-Za-z0-9._%+\-]++@(?:[A-Za-z0-9\-]++\.)++[A-Za-z]{2,}", A)
+IPV4 = re.compile(
+    r"(?<![\w.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}+(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])", A)
+IPV6 = re.compile(
+    r"(?<![\w:])(?:(?:[0-9a-fA-F]{1,4}+:){4,7}[0-9a-fA-F]{1,4}+"
+    r"|(?:[0-9a-fA-F]{1,4}+:){1,6}:(?:[0-9a-fA-F]{1,4}+(?::[0-9a-fA-F]{1,4}+){0,5}+)?"
+    r"|::(?:[0-9a-fA-F]{1,4}+(?::[0-9a-fA-F]{1,4}+){0,6}+))(?![\w:])", A)
+PHONE = re.compile(
+    r"(?<![\w])(?:\+\d{1,3}+[-. ])?(?:\(\d{3}+\)\s?|\d{3}+[-. ])\d{3}+[-. ]\d{4}+(?![\w-])", A)
+SECRET_TOKEN = re.compile(
+    r"\b(?:sk_live_|sk_test_|ghp_|gho_|xoxb-|xoxp-|AKIA)[A-Za-z0-9_\-]{8,}+\b", A)
+SECRET_ASSIGN = re.compile(
+    r"\b(?:api[_\-]?key|secret(?:[_\-]?(?:key|access[_\-]?key))?|access[_\-]?token"
+    r"|auth[_\-]?token|passwd|password|aws_secret_access_key)\b"
+    r"\s*[:=]+\s*[\"']?([A-Za-z0-9+/_\-]{8,}+={0,2}+)[\"']?", A | re.IGNORECASE)
+
+# Java String.trim(): strips chars <= U+0020
+_TRIM = "".join(chr(c) for c in range(0x21))
+
+
+def java_trim(s):
+    return s.strip(_TRIM)
+
+
+def _matches(pattern, text, cat, group=0):
+    out = []
+    for m in pattern.finditer(text):
+        s, e = m.start(group), m.end(group)
+        if s >= 0 and e > s:
+            out.append((s, e, cat))
+    return out
+
+
+def find_spans(text):
+    cands = (_matches(EMAIL, text, "EMAIL")
+             + _matches(IPV4, text, "IP_ADDRESS")
+             + _matches(IPV6, text, "IP_ADDRESS")
+             + _matches(SECRET_TOKEN, text, "SECRET")
+             + _matches(SECRET_ASSIGN, text, "SECRET", group=1)
+             + _matches(PHONE, text, "PHONE"))
+    cands.sort(key=lambda s: (s[0], -(s[1] - s[0]), s[2]))
+    kept, last_end = [], -1
+    for s in cands:
+        if s[0] >= last_end:
+            kept.append(s)
+            last_end = s[1]
+    return kept
+
+
+def redact(text, spans):
+    out = text
+    for s, e, _ in sorted(spans, key=lambda x: -x[0]):
+        out = out[:s] + REDACTION + out[e:]
+    return out
+
+
+def scrub(text):
+    """→ dict(hasPii, scrubbed, piiTypes, entities, error)."""
+    if text is None:
+        return dict(hasPii=False, scrubbed="", piiTypes=[], entities=[], error=ERR_NULL)
+    if not java_trim(text):
+        return dict(hasPii=False, scrubbed=text, piiTypes=[], entities=[], error=ERR_EMPTY)
+    if len(text) > MAX_CHARS:
+        return dict(hasPii=False, scrubbed=text, piiTypes=[], entities=[], error=ERR_TOO_LARGE)
+    spans = find_spans(text)
+    entities = [dict(text=text[s:e], type=c, start=s, end=e, confidence=1.0)
+                for s, e, c in spans]
+    # piiTypes: distinct-in-first-seen-order, then sorted (Scala .distinct.sorted)
+    seen, types = set(), []
+    for ent in entities:
+        if ent["type"] not in seen:
+            seen.add(ent["type"])
+            types.append(ent["type"])
+    return dict(hasPii=bool(entities), scrubbed=redact(text, spans),
+                piiTypes=sorted(types), entities=entities, error=None)

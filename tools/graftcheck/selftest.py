@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Validates every graftcheck port bit-for-bit against the JVM goldens
+(tools/graftcheck/goldens.json, written by `runMain graft.tools.GoldenDump`).
+Run after touching any port: `python3 -m graftcheck.selftest` from tools/.
+"""
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from graftcheck import dedup, fixtures, langmodels, multimodal
+from graftcheck.jrandom import SplittableRandom
+from graftcheck import hashes as H
+
+M64 = (1 << 64) - 1
+
+
+def main():
+    g = json.load(open(os.path.join(os.path.dirname(__file__), "goldens.json")))
+    checks = 0
+
+    for seed, exp in g["splittable_random"].items():
+        s = int(seed) & M64
+        r = SplittableRandom(s)
+        assert [r.next_int(100) for _ in range(8)] == exp["nextInt100"], seed
+        r = SplittableRandom(s)
+        assert [r.next_int(256) for _ in range(4)] == exp["nextInt256"], seed
+        r = SplittableRandom(s)
+        assert [r.next_boolean() for _ in range(6)] == exp["nextBoolean"], seed
+        checks += 3
+
+    for k, v in g["fnv1a64"].items():
+        assert H.fnv1a64(k) == v, k
+        checks += 1
+    for k, v in g["splitmix64"].items():
+        assert H.splitmix64(int(k)) == v, k
+        checks += 1
+
+    sh = g["spark_hashes"]
+    assert H.spark_xxhash64([42]) == sh["xxhash64_long_42"]
+    assert H.spark_xxhash64([-123456789]) == sh["xxhash64_long_neg"]
+    assert H.spark_xxhash64(["abc"]) == sh["xxhash64_str_abc"]
+    assert H.spark_xxhash64(
+        ["abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox jumps"]
+    ) == sh["xxhash64_str_long"]
+    assert H.spark_xxhash64(["tok1tok2", "src", "cap", 42]) == sh["xxhash64_multi"]
+    assert H.spark_hash_longs([7]) == sh["murmur3_long1"]
+    assert H.spark_hash_longs([1, -2, 300, -99999999999]) == sh["murmur3_long4"]
+    checks += 7
+
+    for i, exp in g["fixture_rows"].items():
+        cf, gold = fixtures.gen_row(int(i))
+        assert cf["repo"] == exp["repo"] and cf["path"] == exp["path"], i
+        assert cf["commit"] == exp["commit"] and cf["lang"] == exp["lang"], i
+        assert H.sha256_hex(cf["content"]) == exp["sha"], i
+        assert len(cf["content"]) == exp["len"], i
+        assert gold["expectedKeep"] == exp["keep"], i
+        assert len(gold["expectedSpans"]) == exp["nSpans"], i
+        assert H.sha256_hex(gold["expectedScrubbed"]) == exp["scrubSha"], i
+        checks += 7
+
+    from graftcheck import tagged
+    got = [[list(t), list(l)] for t, l in tagged.raw_bio(5)]
+    assert got == g["raw_bio_5"]
+    checks += 1
+
+    got_media = [dict(kind=m["kind"], len=len(m["payload"]),
+                      sha=hashlib.sha256(m["payload"]).hexdigest())
+                 for m in multimodal.synthesize(4)]
+    assert got_media == g["media_4"]
+    checks += 1
+
+    corpora = langmodels.load_corpora()
+    lang, conf = langmodels.langid_model().predict(corpora["python"])
+    assert lang == g["langid_python_corpus"]["lang"]
+    assert conf == g["langid_python_corpus"]["conf"], "langid confidence not bit-exact"
+    ppl = langmodels.lm_model().perplexity("def foo(x):\n    return x + 1\n")
+    assert ppl == g["ppl_pydef"], "perplexity not bit-exact"
+    checks += 3
+
+    fox = "the quick brown fox jumps over the lazy dog"
+    assert dedup.minhash_signature(fox) == g["minhash_fox"]
+    assert H.i64(dedup.simhash64(fox)) == g["simhash_fox"]
+    checks += 2
+
+    print(f"graftcheck selftest: {checks} golden checks, all bit-exact")
+
+
+if __name__ == "__main__":
+    main()

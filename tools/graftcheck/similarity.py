@@ -1,0 +1,156 @@
+"""Python port of graft.ops.Similarity: exact cosine (Spark fold order),
+sign-LSH bucket ids, IVF k-means (hash-spread sample + deterministic
+Lloyd), and the exact top-k ranking the Spark queries emit.
+"""
+from .hashes import splitmix64, spark_xxhash64, M64
+from .dedup import round_half_up
+
+
+def cosine(a, b):
+    """Mirror of Similarity.cosine: sequential double folds."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    import math
+    na, nb = math.sqrt(na), math.sqrt(nb)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (na * nb)
+
+
+def plane_component(plane, dim):
+    h = splitmix64(plane * 1000003 + dim) & M64
+    return (h >> 11) / float(1 << 52) * 2.0 - 1.0
+
+
+def lsh_bucket_ids(vec, n_tables, planes_per_table):
+    out = []
+    for t in range(n_tables):
+        sig = 0
+        for p in range(planes_per_table):
+            plane = t * planes_per_table + p
+            dot = 0.0
+            for d in range(len(vec)):
+                dot += float(vec[d]) * plane_component(plane, d)
+            if dot >= 0:
+                sig |= 1 << p
+        out.append((t << 32) | sig)
+    return out
+
+
+def rank_top_k(cands, k):
+    """cands: {qid: [(score, id)]} → [(qid, id, rank, round4(score))]."""
+    rows = []
+    for qid, scored in cands.items():
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (score, nid) in enumerate(scored[:k], start=1):
+            rows.append((qid, nid, rank, round_half_up(score, 4)))
+    return rows
+
+
+def lsh_top_k(corpus, queries, k, n_tables, planes_per_table):
+    """corpus/queries: [(id, vec)] → rows like Similarity.lshTopK."""
+    qbuckets = {}
+    for qid, qv in queries:
+        for bkt in lsh_bucket_ids(qv, n_tables, planes_per_table):
+            qbuckets.setdefault(bkt, []).append(qid)
+    qvec = dict(queries)
+    cands = {qid: set() for qid, _ in queries}
+    for cid, cv in corpus:
+        for bkt in lsh_bucket_ids(cv, n_tables, planes_per_table):
+            for qid in qbuckets.get(bkt, ()):
+                if cid != qid:
+                    cands[qid].add(cid)
+    cvec = dict(corpus)
+    scored = {qid: [(cosine(cvec[cid], qvec[qid]), cid) for cid in ids]
+              for qid, ids in cands.items()}
+    return rank_top_k(scored, k)
+
+
+# ----------------------------------------------------------------------
+# IVF
+# ----------------------------------------------------------------------
+def hash_spread_sample(corpus, n):
+    """Mirror of Similarity.hashSpreadSample: smallest signed xxhash64(id)."""
+    ordered = sorted(corpus, key=lambda r: spark_xxhash64([r[0]]))
+    return [r[1] for r in ordered[:n]]
+
+
+def nearest_centroid(v, cents):
+    best, best_d = 0, float("inf")
+    for c in range(len(cents)):
+        d = 0.0
+        cc = cents[c]
+        for j in range(len(v)):
+            t = float(v[j]) - cc[j]
+            d += t * t
+        if d < best_d:
+            best_d, best = d, c
+    return best
+
+
+def train_centroids(sample, k, iters=8):
+    dim = len(sample[0])
+    n = len(sample)
+    cents = [[float(x) for x in sample[0]]]
+    while len(cents) < min(k, n):
+        best_idx, best_dist = 0, -1.0
+        for i in range(n):
+            nearest = float("inf")
+            si = sample[i]
+            for c in cents:
+                d = 0.0
+                for j in range(dim):
+                    t = float(si[j]) - c[j]
+                    d += t * t
+                if d < nearest:
+                    nearest = d
+            if nearest > best_dist:
+                best_dist, best_idx = nearest, i
+        cents.append([float(x) for x in sample[best_idx]])
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in cents]
+        counts = [0] * len(cents)
+        for i in range(n):
+            a = nearest_centroid(sample[i], cents)
+            si = sample[i]
+            for j in range(dim):
+                sums[a][j] += float(si[j])
+            counts[a] += 1
+        cents = [cents[c] if counts[c] == 0 else [s / counts[c] for s in sums[c]]
+                 for c in range(len(cents))]
+    return cents
+
+
+def ivf_top_k(corpus, queries, k, n_centroids=16, n_probe=2, sample_size=2000):
+    sample = hash_spread_sample(corpus, sample_size)
+    cents = train_centroids(sample, n_centroids)
+    cells = {}
+    for cid, cv in corpus:
+        cells.setdefault(nearest_centroid(cv, cents), []).append((cid, cv))
+    qvec = dict(queries)
+    scored = {}
+    for qid, qv in queries:
+        dists = []
+        for c in range(len(cents)):
+            d = 0.0
+            cc = cents[c]
+            for j in range(len(qv)):
+                t = float(qv[j]) - cc[j]
+                d += t * t
+            dists.append((d, c))
+        dists.sort(key=lambda t: t[0])  # stable: ties keep centroid order
+        probe = [c for _, c in dists[:n_probe]]
+        lst = []
+        for c in probe:
+            for cid, cv in cells.get(c, ()):
+                if cid != qid:
+                    lst.append((cosine(cv, qvec[qid]), cid))
+        scored[qid] = lst
+    return rank_top_k(scored, k)

@@ -1,0 +1,381 @@
+"""Python port of the tagged-corpus lifecycle: graft.ingest.TaggedFixtures
+(raw frames), SpanToBio (char-offset ↔ BIO projection), Labels.normalise
+(3-stage canonicalisation — the table itself is parsed out of Labels.scala,
+it is the data contract), and the Readers (S3-S7 decode).
+"""
+import json
+import os
+import re
+
+from .jrandom import SplittableRandom
+from .hashes import splitmix64, M64
+from .fixtures import _cap
+
+_LABELS_SRC = os.path.join(os.path.dirname(__file__),
+                           "../../src/main/scala/graft/ingest/Labels.scala")
+_WS = re.compile(r"\s+", re.ASCII)
+
+WORDS = ["alice", "bob", "paris", "berlin", "acme", "zenith",
+         "report", "window", "ledger", "metric", "bridge", "harbor"]
+RAW_LABELS = ["FIRSTNAME", "LASTNAME", "CITY", "COMPANYNAME", "PHONENUMBER",
+              "EMAIL", "SSN", "CURRENCYCODE", "JOBTITLE", "RAREONE"]
+FEW_NERD_NAMES = ["O", "person", "organization", "location", "other",
+                  "art", "building", "event", "product"]
+
+
+# ----------------------------------------------------------------------
+# Labels
+# ----------------------------------------------------------------------
+def _load_norm():
+    src = open(_LABELS_SRC, encoding="utf-8").read()
+    body = src.split("val Norm: Map[String, String] = Map(")[1].split("\n  )")[0]
+    return dict(re.findall(r'"([^"]+)"\s*->\s*"([^"]+)"', body))
+
+
+NORM = _load_norm()
+
+
+def _apply_norm(prefix, normed):
+    if normed.startswith("B-") or normed.startswith("I-"):
+        return normed
+    return prefix + normed
+
+
+def normalise(label):
+    if label == "O":
+        return "O"
+    if label.startswith("B-") or label.startswith("I-"):
+        prefix, base = label[:2], label[2:]
+    else:
+        prefix, base = "", label
+    for key in (prefix + base, base, base.lower()):
+        if key in NORM:
+            return _apply_norm(prefix, NORM[key])
+    if base and base[0].isupper() and "-" not in base and "_" not in base:
+        return prefix + "FINANCIAL_ENTITY"
+    return prefix + base.upper()
+
+
+# ----------------------------------------------------------------------
+# SpanToBio
+# ----------------------------------------------------------------------
+def _char_to_tok(text, tokens):
+    cmap = [-1] * len(text)
+    pos = 0
+    for tok_idx, tok in enumerate(tokens):
+        start = text.find(tok, pos)
+        if start == -1:
+            pos += 1
+        else:
+            for c in range(start, min(start + len(tok), len(text))):
+                cmap[c] = tok_idx
+            pos = start + len(tok)
+    return cmap
+
+
+def _lookup(cmap, i):
+    return cmap[i] if 0 <= i < len(cmap) and cmap[i] >= 0 else -1
+
+
+def span_to_bio(text, spans):
+    """spans: [(start, end, label)] → (tokens, labels); corpus-side policy."""
+    tokens = [t for t in _WS.split(text) if t]
+    labels = ["O"] * len(tokens)
+    if not tokens:
+        return tokens, labels
+    cmap = _char_to_tok(text, tokens)
+    for start, end, label in spans:
+        first_tok = last_tok = -1
+        off = 0
+        while first_tok < 0 and off < 5:
+            first_tok = _lookup(cmap, start + off)
+            off += 1
+        off = 0
+        while last_tok < 0 and off < 5:
+            last_tok = _lookup(cmap, end - 1 - off)
+            off += 1
+        if first_tok >= 0 and last_tok >= 0:
+            labels[first_tok] = f"B-{label}"
+            for i in range(first_tok + 1, min(last_tok + 1, len(labels))):
+                labels[i] = f"I-{label}"
+    return tokens, labels
+
+
+START_KEYS = ["start", "begin", "char_start", "start_index", "startIndex", "offset"]
+END_KEYS = ["end", "char_end", "end_index", "endIndex"]
+LABEL_KEYS = ["type", "label", "entity_type", "tag", "pii_type",
+              "category", "ner_tag", "entity_label", "class"]
+VALUE_KEYS = ["value", "text", "surface_form"]
+
+
+def _truthy(v):
+    if v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, (str, list, dict)):
+        return len(v) > 0
+    return True
+
+
+def _chain_get(node, keys):
+    for k in keys:
+        v = node.get(k)
+        if _truthy(v):
+            return v
+    return node.get(keys[-1])
+
+
+def _py_int(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return int(v)  # truncation toward zero, like Double.toInt
+    if isinstance(v, str):
+        try:
+            return int(v.strip())
+        except ValueError:
+            return None
+    return None
+
+
+def _resolve_span(node, text):
+    start = _chain_get(node, START_KEYS)
+    end = _chain_get(node, END_KEYS)
+    label_node = _chain_get(node, LABEL_KEYS)
+    label = str(label_node) if _truthy(label_node) else None
+    if start is None or end is None or label is None:
+        value_node = _chain_get(node, VALUE_KEYS)
+        value = str(value_node) if _truthy(value_node) else None
+        if label is None:
+            e = node.get("entity")
+            label = str(e) if _truthy(e) else ""
+        if value is not None and label:
+            idx = text.find(value)
+            if idx < 0:
+                return None
+            return (idx, idx + len(value), label)
+        return None
+    s, e2 = _py_int(start), _py_int(end)
+    if s is None or e2 is None:
+        return None
+    return (s, e2, label)
+
+
+def _collect_spans(node, text):
+    out = []
+    if isinstance(node, list):
+        for item in node:
+            if isinstance(item, dict):
+                r = _resolve_span(item, text)
+                if r:
+                    out.append(r)
+            elif isinstance(item, list) and len(item) >= 3:
+                out.append((int(item[0]), int(item[1]), str(item[2])))
+            elif isinstance(item, str):
+                try:
+                    out.extend(_collect_spans(json.loads(item), text))
+                except ValueError:
+                    pass
+    elif isinstance(node, dict):
+        r = _resolve_span(node, text)
+        if r:
+            out.append(r)
+    return out
+
+
+def parse_span_field(raw, text):
+    if raw is None or not raw.strip():
+        return []
+    try:
+        node = json.loads(raw)
+    except ValueError:
+        return []
+    return _collect_spans(node, text)
+
+
+# ----------------------------------------------------------------------
+# TaggedFixtures raw frames
+# ----------------------------------------------------------------------
+def _rng(i, salt):
+    return SplittableRandom(splitmix64(i * 31 + salt) & M64)
+
+
+def _word(r):
+    return WORDS[r.next_int(12)]
+
+
+def raw_bio(n):
+    for i in range(n):
+        r = _rng(i, 1)
+        length = r.next_int(8) + 3
+        tokens = [_word(r) + str(r.next_int(100)) for _ in range(length)]
+        labels = []
+        for _ in range(length):
+            if r.next_int(10) < 7:
+                labels.append("O")
+            else:
+                prefix = "B-" if r.next_boolean() else "I-"
+                labels.append(prefix + RAW_LABELS[r.next_int(10)])
+        yield tokens, labels
+
+
+def raw_few_nerd(n):
+    for i in range(n):
+        r = _rng(i, 2)
+        length = r.next_int(8) + 3
+        tokens = [_word(r) for _ in range(length)]
+        cur = 0
+        tags = []
+        for _ in range(length):
+            if r.next_int(3) == 0:
+                cur = r.next_int(9)
+            tags.append(cur)
+        yield tokens, tags
+
+
+def raw_spans(n):
+    for i in range(n):
+        r = _rng(i, 3)
+        toks = [_word(r) + str(r.next_int(10)) for _ in range(r.next_int(8) + 4)]
+        text = " ".join(toks)
+        n_spans = r.next_int(3)
+        spans = []
+        for _ in range(n_spans):
+            tok_idx = r.next_int(len(toks))
+            start = sum(len(t) + 1 for t in toks[:tok_idx])
+            end = start + len(toks[tok_idx])
+            lbl = RAW_LABELS[r.next_int(10)]
+            form = r.next_int(3)
+            if form == 0:
+                spans.append('{"start": %d, "end": %d, "type": "%s"}' % (start, end, lbl))
+            elif form == 1:
+                spans.append('[%d, %d, "%s"]' % (start, end, lbl))
+            else:
+                spans.append('{"begin": %d, "end_index": %d, "category": "%s"}' % (start, end, lbl))
+        yield text, "[" + ",".join(spans) + "]"
+
+
+def raw_nemotron(n):
+    for i in range(n):
+        r = _rng(i, 4)
+        name = _cap(_word(r))
+        city = _cap(_word(r))
+        text = f"Contact {name} in {city} today"
+        if i % 2 == 0:
+            spans = '[{"start": 8, "end": %d, "type": "FIRSTNAME"}]' % (8 + len(name))
+            yield text, spans, ""
+        else:
+            tagged = f"Contact <FIRSTNAME>{name}</FIRSTNAME> in <CITY>{city}</CITY> today"
+            yield text, "[]", tagged
+
+
+def raw_finer(n):
+    for i in range(n):
+        r = _rng(i, 5)
+        length = r.next_int(8) + 3
+        tokens = [_word(r) for _ in range(length)]
+        tags = [r.next_int(5) for _ in range(length)]
+        yield tokens, tags
+
+
+# ----------------------------------------------------------------------
+# Readers (TaggedRecord = (tokens, labels, source))
+# ----------------------------------------------------------------------
+def read_bio(rows, source):
+    for tokens, raw_labels in rows:
+        if not tokens or not raw_labels:
+            continue
+        labels = [normalise(l) for l in raw_labels]
+        m = min(len(tokens), len(labels))
+        yield (tokens[:m], labels[:m], source)
+
+
+def read_few_nerd(rows, source, names):
+    for tokens, tags in rows:
+        if not tokens or not tags:
+            continue
+        labels = []
+        prev = None
+        for tag_id in tags:
+            if tag_id == 0:
+                labels.append("O")
+                prev = None
+            else:
+                raw = names[tag_id] if tag_id < len(names) else "other"
+                canonical = normalise(raw)
+                labels.append(f"I-{canonical}" if prev == canonical else f"B-{canonical}")
+                prev = canonical
+        m = min(len(tokens), len(labels))
+        yield (tokens[:m], labels[:m], source)
+
+
+def read_spans(rows, source):
+    for text, span_raw in rows:
+        if not text:
+            continue
+        spans = parse_span_field(span_raw, text)
+        tokens, labels = span_to_bio(text, spans)
+        if not tokens:
+            continue
+        yield (tokens, [normalise(l) for l in labels], source)
+
+
+_TAG_RE = re.compile(r"<(\w+)>(.*?)</\1>", re.DOTALL | re.ASCII)
+
+
+def read_nemotron(rows):
+    for text, spans_raw, tagged in rows:
+        if not text:
+            continue
+        spans = parse_span_field(spans_raw, text)
+        tokens, labels = span_to_bio(text, spans)
+        normed = [normalise(l) for l in labels]
+        if not any(l != "O" for l in normed) and tagged:
+            fallback = []
+            clean = []
+            clen = 0
+            remaining = tagged
+            while remaining:
+                m = _TAG_RE.search(remaining)
+                if not m:
+                    clean.append(remaining)
+                    break
+                clean.append(remaining[:m.start()])
+                clen += m.start()
+                fallback.append((clen, clen + len(m.group(2)), m.group(1)))
+                clean.append(m.group(2))
+                clen += len(m.group(2))
+                remaining = remaining[m.end():]
+            clean_text = "".join(clean)
+            if fallback and clean_text.strip():
+                tokens, labels = span_to_bio(clean_text, fallback)
+                normed = [normalise(l) for l in labels]
+        if not tokens:
+            continue
+        yield (tokens, normed, "nvidia_nemotron")
+
+
+def read_finer(rows):
+    for tokens, tags in rows:
+        if not tokens or not tags:
+            continue
+        labels = ["O" if t == 0 else
+                  ("B-FINANCIAL_ENTITY" if t % 2 == 1 else "I-FINANCIAL_ENTITY")
+                  for t in tags]
+        yield (tokens, labels, "finer_139")
+
+
+def consolidated(n_per_source):
+    """Mirror of TaggedFixtures.consolidated: 5 readers unioned in order."""
+    out = []
+    out.extend(read_bio(raw_bio(n_per_source), "ai4privacy"))
+    out.extend(read_few_nerd(raw_few_nerd(n_per_source), "few_nerd", FEW_NERD_NAMES))
+    out.extend(read_spans(raw_spans(n_per_source), "mendeley_pii"))
+    out.extend(read_nemotron(raw_nemotron(n_per_source)))
+    out.extend(read_finer(raw_finer(n_per_source * 3)))
+    return out
