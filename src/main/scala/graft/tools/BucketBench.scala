@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.Fixtures
+import graft.io.TableIO
+
+/** Commit-unit sizing evidence: run the resumable TableIO pipeline with a
+  * production-shaped bucket count (default 1024 — the granularity a 10^12
+  * file corpus would checkpoint at) and report end-to-end files/s, snapshot
+  * integrity, and metrics consistency. Run EXCLUSIVELY (see CLAUDE.md).
+  *
+  * Usage: runMain graft.tools.BucketBench [nFiles] [nBuckets]
+  */
+object BucketBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 2000000L
+    val nBuckets = if (args.length > 1) args(1).toInt else 1024
+    val corpusPath = s"/tmp/graft-bucket-corpus-$n"
+    val root = s"/tmp/graft-bucket-table-$n-$nBuckets"
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(corpusPath).exists()) {
+      Fixtures.generate(spark, n).repartition(128).write.mode("overwrite").parquet(corpusPath)
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+
+    val corpus = spark.read.parquet(corpusPath)
+      .as[graft.model.CodeFile](org.apache.spark.sql.Encoders.product[graft.model.CodeFile])
+
+    val t0 = System.nanoTime()
+    val snap = TableIO.runResumable(corpus, root, nBuckets = nBuckets)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val scanned = snap.metrics.map(_.filesScanned).sum
+    val kept = snap.metrics.map(_.filesKept).sum
+    val visible = TableIO.readCommitted(spark, root).count()
+    println(
+      f"""{"metric":"bucket_commit","n_files":$n,"n_buckets":$nBuckets,"sec":$sec%.2f,"files_per_sec":${n / sec}%.1f,"committed_buckets":${snap.committedBuckets.size},"metrics_scanned":$scanned,"metrics_kept":$kept,"visible_rows":$visible,"consistent":${scanned == n && visible == n}}""")
+    spark.stop()
+  }
+}
