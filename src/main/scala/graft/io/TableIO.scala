@@ -173,13 +173,22 @@ object TableIO {
       .drop("bucket")
       .as[CodeFile](org.apache.spark.sql.Encoders.product[CodeFile])
 
+    // repartition ON THE BUCKET KEY before the write: without it every
+    // write task emits a file into every bucket directory it sees —
+    // tasks × buckets files (measured: 128 × 1024 ≈ 131k ~16 KB files and a
+    // 12× throughput collapse at nBuckets=1024). Co-locating each bucket in
+    // one task makes file count ≈ bucket count; at 100 TB add a salt column
+    // to the repartition to split >HDFS-block buckets across tasks.
     val results = QualityFilter.run(subset, cfg)
       .withColumn("bucket", bucketCol(nBuckets))
+      .repartition(col("bucket"))
 
     // per-bucket lineage metrics ride the write itself: a pass-through
-    // mapPartitions feeds an accumulator while rows stream to parquet — ONE
-    // scan of the pipeline output per commit (the old shape re-read the
-    // written files, doubling commit I/O; kept below as an audit mode)
+    // mapPartitions inside the FINAL write stage feeds an accumulator while
+    // rows stream to parquet — ONE scan of the pipeline output per commit
+    // (the old shape re-read the written files, doubling commit I/O; kept
+    // below as an audit mode). Result-stage accumulators are applied once
+    // per successful task, so retried/speculative writers can't double-count.
     val acc = new BucketMetricsAcc(nBuckets)
     spark.sparkContext.register(acc, s"graft.tableio.bucketMetrics.v${prev.map(_.version + 1).getOrElse(1)}")
     val schema = results.schema

@@ -116,7 +116,7 @@ object Dedup {
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith("graft.lsh.buckets"))
-              log.warn(s"LSH bucket stats [$name]: droppedOversized=${row.getAs[Long]("droppedBuckets")} " +
+              log.warn(s"LSH bucket stats [$name]: droppedOversizedRows=${row.getAs[Long]("droppedRows")} " +
                 s"maxWidth=${row.getAs[Any]("maxWidth")}")
           }
         override def onFailure(funcName: String,
@@ -127,27 +127,27 @@ object Dedup {
 
   /** Near-duplicate candidate pairs (a < b) from LSH band collisions.
     *
-    * Scale guard: per-(band,bucket) widths are counted first and buckets
-    * wider than `maxBucketWidth` are anti-joined away BEFORE the self-join,
-    * so no bucket can contribute more than maxBucketWidth² pairs. The number
-    * of dropped buckets is attached as an `observe()` metric (zero extra
-    * jobs) and logged on action completion.
+    * Scale guard + shape: bucket widths come from a window count over the
+    * SAME (band,bucket) shuffle the self-join needs — the expensive MinHash
+    * signatures are computed once and the exchange is reused by both join
+    * sides AND satisfies the join's partitioning (no further shuffle).
+    * Rows in buckets wider than `maxBucketWidth` are filtered before the
+    * self-join, so no bucket can contribute more than maxBucketWidth²
+    * pairs. Dropped-row/width stats ride the plan as an `observe()` metric
+    * (zero extra jobs) and are logged on action completion.
     */
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
     installDropLogger(df.sparkSession)
     val buckets = lshBuckets(df, textCol, idCol)
-    val widths = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__w"))
-    val observed = widths.observe(
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val withW = buckets.withColumn("__w", count(lit(1)).over(w))
+    val observed = withW.observe(
       s"graft.lsh.buckets.${observeCounter.incrementAndGet()}",
-      sum(when(col("__w") > maxBucketWidth, 1L).otherwise(0L)).as("droppedBuckets"),
+      sum(when(col("__w") > maxBucketWidth, 1L).otherwise(0L)).as("droppedRows"),
       max(col("__w")).as("maxWidth"))
-    val oversized = observed.filter(col("__w") > maxBucketWidth)
-      .select(col("band"), col("bucket"))
-    // the oversized set is tiny by construction (only degenerate buckets);
-    // AQE turns this anti join into a broadcast at runtime
-    val pruned = buckets.join(oversized, Seq("band", "bucket"), "left_anti")
+    val pruned = observed.filter(col("__w") <= maxBucketWidth)
     val l = pruned.select(col("band"), col("bucket"), col(idCol).as("a"))
     val r = pruned.select(col("band"), col("bucket"), col(idCol).as("b"))
     l.join(r, Seq("band", "bucket"))
@@ -240,11 +240,11 @@ object Dedup {
     val buckets = withSim
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
-    val oversized = buckets.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__w"))
-      .filter(col("__w") > maxBucketWidth)
-      .select(col("band"), col("key"))
-    val pruned = buckets.join(oversized, Seq("band", "key"), "left_anti")
+    // width via window count over the same (band,key) shuffle the join
+    // reuses — simhash computed once, no extra aggregation branch
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))
+    val pruned = buckets.withColumn("__w", count(lit(1)).over(w))
+      .filter(col("__w") <= maxBucketWidth)
     val l = pruned.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("simA"))
     val r = pruned.select(col("band"), col("key"), col(idCol).as("b"), col("simhash").as("simB"))
     l.join(r, Seq("band", "key"))

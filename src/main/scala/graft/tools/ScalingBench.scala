@@ -42,6 +42,13 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 400000L
+    // N→4N pair; default 8→32. On this box 8→32 threads is OUTSIDE the
+    // hardware's linear region (pure-JVM thread scaling is only ~2.9× from
+    // turbo + memory bandwidth — BENCH.md); 2→8 measures the same job in
+    // the linear region, which is what a 4× EXECUTOR scale-out (4× memory
+    // subsystems) corresponds to.
+    val c1 = if (args.length > 1) args(1).toInt else 8
+    val c2 = if (args.length > 2) args(2).toInt else c1 * 4
     val corpusPath = s"/tmp/graft-scaling-corpus-$n"
 
     if (!new java.io.File(corpusPath).exists()) {
@@ -53,12 +60,13 @@ object ScalingBench {
       s.stop()
     }
 
-    val t8 = run(8, corpusPath)
-    val t32 = run(32, corpusPath)
-    val thr8 = n / t8
-    val thr32 = n / t32
-    val efficiency = (t8 / t32) / 4.0
+    val t1 = run(c1, corpusPath)
+    val t2 = run(c2, corpusPath)
+    val thr1 = n / t1
+    val thr2 = n / t2
+    val ratio = c2.toDouble / c1
+    val efficiency = (t1 / t2) / ratio
     println(
-      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"n_files":$n,"local8":{"sec":$t8%.2f,"files_per_sec":$thr8%.1f},"local32":{"sec":$t32%.2f,"files_per_sec":$thr32%.1f},"speedup":${t8 / t32}%.2f}""")
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"n_files":$n,"local$c1":{"sec":$t1%.2f,"files_per_sec":$thr1%.1f},"local$c2":{"sec":$t2%.2f,"files_per_sec":$thr2%.1f},"speedup":${t1 / t2}%.2f}""")
   }
 }

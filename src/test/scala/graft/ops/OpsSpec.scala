@@ -71,7 +71,7 @@ class OpsSpec extends AnyFunSuite {
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
-          if (name.startsWith("graft.lsh.buckets")) dropped = row.getAs[Long]("droppedBuckets")
+          if (name.startsWith("graft.lsh.buckets")) dropped = row.getAs[Long]("droppedRows")
         }
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
@@ -82,7 +82,8 @@ class OpsSpec extends AnyFunSuite {
       // the QueryExecutionListener fires async after the action completes
       val deadline = System.nanoTime() + 10_000_000_000L
       while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(dropped == Dedup.Bands, s"expected ${Dedup.Bands} dropped buckets, saw $dropped")
+      // 1,000 identical docs share one bucket per band → 16 × 1,000 rows cut
+      assert(dropped == 16000L, s"expected 16000 dropped bucket rows, saw $dropped")
     } finally spark.listenerManager.unregister(l)
   }
 
