@@ -214,6 +214,9 @@ object SparkEntry {
         .agg(countDistinct(col("bucket")).as("n_buckets"), count(lit(1)).as("n_docs"))
     }),
 
+    // At bench scale the lazy path wins (recomputing 5k signatures is
+    // cheaper than a persist barrier); at 10^9 docs persist the signature
+    // table first — Dedup.nearDupPairsFromSigs documents the pattern.
     "q19_neardup_candidates" -> ((s, dir) => {
       Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id", minJaccard = 0.0)
         .orderBy(col("est_jaccard").desc, col("a").asc, col("b").asc)

@@ -76,20 +76,31 @@ object Dedup {
   val minhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => minhashSignature(text))
 
-  /** Per-document LSH bucket rows: (id, band, bucket) — `Bands` rows per doc.
-    * Bucket key is the hash of the band's signature slice.
+  /** MinHash signature table: (id, sig). The signature UDF is the dominant
+    * CPU cost of near-dup detection — at scale compute this ONCE and
+    * `.persist()` it at the call site before deriving buckets/pairs (a lazy
+    * library function must not hide a persist the caller can't release).
     */
-  def lshBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withSig = df.select(col(idCol), minhashUdf(col(textCol)).as("sig"))
+  def signatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), minhashUdf(col(textCol)).as("sig"))
+
+  /** Per-document LSH bucket rows from a signature table:
+    * (id, band, bucket) — `Bands` rows per doc; bucket key is the hash of
+    * the band's signature slice.
+    */
+  def lshBucketsFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * RowsPerBand until (b + 1) * RowsPerBand)
           .map(j => col("sig").getItem(j)): _*).as("bucket"))
     }
-    withSig
+    sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
+
+  def lshBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    lshBucketsFromSigs(signatures(df, textCol, idCol), idCol)
 
   /** Buckets wider than this are dropped from candidate generation by
     * default: an m-doc bucket emits m² join pairs, so one degenerate class
@@ -137,9 +148,14 @@ object Dedup {
     * (zero extra jobs) and are logged on action completion.
     */
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame =
+    candidatePairsFromSigs(signatures(df, textCol, idCol), idCol, maxBucketWidth)
+
+  /** Candidate pairs from a (persisted) signature table. */
+  def candidatePairsFromSigs(sigs: DataFrame, idCol: String,
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
-    installDropLogger(df.sparkSession)
-    val buckets = lshBuckets(df, textCol, idCol)
+    installDropLogger(sigs.sparkSession)
+    val buckets = lshBucketsFromSigs(sigs, idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
     val withW = buckets.withColumn("__w", count(lit(1)).over(w))
@@ -159,9 +175,18 @@ object Dedup {
     * MinHash components. One broadcast-friendly join back to signatures.
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double = 0.7): DataFrame = {
-    val sigs = df.select(col(idCol), minhashUdf(col(textCol)).as("sig"))
-    val cands = candidatePairs(df, textCol, idCol)
+      minJaccard: Double = 0.7): DataFrame =
+    nearDupPairsFromSigs(signatures(df, textCol, idCol), idCol, minJaccard)
+
+  /** Near-dup pairs from a signature table. PERSIST `sigs` at the call
+    * site: the plan references it four times (two bucket branches feeding
+    * the self-join, two sig joins for the estimate) — unpersisted, each
+    * reference recomputes the full signature pass.
+    */
+  def nearDupPairsFromSigs(sigs: DataFrame, idCol: String,
+      minJaccard: Double = 0.7,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
+    val cands = candidatePairsFromSigs(sigs, idCol, maxBucketWidth)
     val estJaccard = udf { (x: Seq[Long], y: Seq[Long]) =>
       var eq = 0; var i = 0
       while (i < x.length) { if (x(i) == y(i)) eq += 1; i += 1 }

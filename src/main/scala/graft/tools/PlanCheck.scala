@@ -11,8 +11,10 @@ object PlanCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    Seq("q02_filter_project", "q01_pricing_summary", "q03_revenue_by_segment",
-        "q04_customers_per_region", "q21_ann_bruteforce").foreach { q =>
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q02_filter_project", "q01_pricing_summary", "q03_revenue_by_segment",
+        "q04_customers_per_region", "q21_ann_bruteforce")
+    qs.foreach { q =>
       println(s"\n========== $q ==========")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
