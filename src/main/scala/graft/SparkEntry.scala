@@ -223,6 +223,18 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // greedy near-dup removal over docs + planted shingle-near copies:
+    // every variant must drop (its base has the smaller id), bases survive
+    "q19b_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz9marker")).as("text"))
+      Dedup.dropNearDups(docs.unionByName(variants), "text", "doc_id", minJaccard = 0.8)
+        .withColumn("is_variant", col("doc_id") >= 1000000L)
+        .groupBy(col("is_variant"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q20_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("simhash", Dedup.simhashUdf(col("text")))
@@ -267,6 +279,19 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 3)
+    }),
+
+    // dedup-by-embedding: planted variants (last component zeroed → cosine
+    // ≈ 0.99+) recovered through sign-LSH buckets, exact cosine verified
+    "q22c_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val variants = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63),
+          array(lit(0.0f))).as("embedding"))
+      Similarity.embeddingNearDups(emb.unionByName(variants), minCosine = 0.95)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("cosine")), 4).as("avg_cosine"),
+          round(min(col("cosine")), 4).as("min_cosine"))
     }),
 
     "q23_embedding_norms" -> ((s, dir) => {

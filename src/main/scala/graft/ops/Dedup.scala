@@ -200,6 +200,19 @@ object Dedup {
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Greedy near-dup removal: drop every document that shares an LSH
+    * candidate pair (est_jaccard ≥ minJaccard) with a SMALLER id — one
+    * representative survives per pairwise group (single-pass policy; no
+    * transitive closure, the standard web-dedup compromise: a chain
+    * a~b~c with a≁c keeps a and may keep c).
+    */
+  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.9): DataFrame = {
+    val drop = nearDupPairs(df, textCol, idCol, minJaccard)
+      .select(col("b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact character-shingle Jaccard between two texts (verification). */
   def exactJaccard(a: String, b: String, shingleLen: Int = 7): Double = {
     val sa = shingleHashes(a, shingleLen).toSet

@@ -209,6 +209,34 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ minCosine) —
+    * dedup by embedding: candidates from sign-LSH bucket collisions in any
+    * table (never a cross join), exact cosine verifies. Same oversized-
+    * bucket guard as the text dedup ops (identical/constant embeddings are
+    * the degenerate class).
+    */
+  def embeddingNearDups(
+      emb: DataFrame, minCosine: Double,
+      nTables: Int = 8, planesPerTable: Int = 8,
+      maxBucketWidth: Int = graft.ops.Dedup.DefaultMaxBucketWidth,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val bUdf = lshBucketsUdf(nTables, planesPerTable)
+    val buckets = emb.select(col(idCol), col(vecCol),
+      explode(bUdf(col(vecCol))).as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+    val pruned = buckets.withColumn("__w", count(lit(1)).over(w))
+      .filter(col("__w") <= maxBucketWidth)
+    val l = pruned.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = pruned.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Bucketed ANN: candidates = bucket collisions in any table; rank by
     * exact cosine over the (deduplicated) candidate set. The scan touches
     * only colliding buckets — never a full cross join.

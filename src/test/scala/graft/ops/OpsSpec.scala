@@ -94,6 +94,35 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped == capped)
   }
 
+  test("dropNearDups keeps one representative per planted near-dup group") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extratail"), (3L, base + " othertail"),
+      (10L, "entirely different content about completely unrelated topics here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(docs, "text", "doc_id", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L), s"kept $kept")
+  }
+
+  test("embeddingNearDups recovers planted high-cosine pairs, no cross join") {
+    val rng = new java.util.SplittableRandom(19L)
+    val baseRows = (0L until 60L).map(i => (i, Array.fill(16)(rng.nextDouble().toFloat * 2 - 1)))
+    val rows = baseRows ++ baseRows.map { case (i, v) =>
+      (i + 1000L, v.dropRight(1) :+ 0.0f) // zero last component → cosine ≈ 0.99+
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val nd = Similarity.embeddingNearDups(emb, minCosine = 0.9)
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val pairs = nd.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // sign-LSH with 8 tables: essentially every planted pair collides
+    val found = (0L until 60L).count(i => pairs.contains((i, i + 1000L)))
+    assert(found >= 54, s"recovered only $found/60 planted pairs")
+    // and no spurious high-cosine pairs among unrelated random vectors
+    pairs.foreach { case (a, b) => assert(b - a == 1000L, s"spurious pair ($a,$b)") }
+  }
+
   test("simhash near-dup join recovers planted pairs without a cross join") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val variant = base + " extramarker"

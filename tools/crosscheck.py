@@ -75,6 +75,18 @@ def q19(docs):
     return cols, [tuple(p) for p in pairs[:100]]
 
 
+def q19b(docs):
+    corpus = [(d[0], d[1]) for d in docs] + \
+             [(d[0] + 1000000, d[1] + " zz9marker") for d in docs]
+    pairs = dedup.near_dup_pairs(corpus, min_jaccard=0.8)
+    dropped = {b for _a, b, _e in pairs}
+    kept = [i for i, _t in corpus if i not in dropped]
+    n_base = sum(1 for i in kept if i < 1000000)
+    n_var = len(kept) - n_base
+    rows = [(False, n_base)] + ([(True, n_var)] if n_var else [])
+    return ["is_variant", "n"], rows
+
+
 def q20(docs):
     groups = {}
     for _id, text, lang, _src, _n in docs:
@@ -108,6 +120,15 @@ def q22b(emb):
     rows = similarity.ivf_top_k(emb, _queries_of(emb), k=5,
                                 n_centroids=16, n_probe=3, sample_size=2000)
     return ["query_id", "neighbor_id", "rank", "score"], rows
+
+
+def q22c(emb):
+    corpus = list(emb) + [(vid + 1000000, list(v[:63]) + [0.0]) for vid, v in emb]
+    nd = similarity.embedding_near_dups(corpus, min_cosine=0.95)
+    n = len(nd)
+    avg_c = round_half_up(sum(c for _a, _b, c in nd) / n, 4)
+    min_c = round_half_up(min(c for _a, _b, c in nd), 4)
+    return ["n_pairs", "avg_cosine", "min_cosine"], [(n, avg_c, min_c)]
 
 
 _analysis_cache = {}
@@ -306,10 +327,12 @@ def main():
         "q17_langid_docs": lambda: q17(docs),
         "q18_minhash_bands": lambda: q18(docs, sigs),
         "q19_neardup_candidates": lambda: q19(docs),
+        "q19b_neardup_dedup": lambda: q19b(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),
         "q22_ann_lsh": lambda: q22(emb),
         "q22b_ann_ivf": lambda: q22b(emb),
+        "q22c_embedding_neardup": lambda: q22c(emb),
         "q27_pipeline_decisions": q27,
         "q28_pii_scrub_stats": q28,
         "q29_multimodal_meta": q29,

@@ -73,6 +73,30 @@ def lsh_top_k(corpus, queries, k, n_tables, planes_per_table):
     return rank_top_k(scored, k)
 
 
+def embedding_near_dups(emb, min_cosine, n_tables=8, planes_per_table=8,
+                        max_bucket_width=256):
+    """Mirror of Similarity.embeddingNearDups: [(a, b, cosine4dp)]."""
+    buckets = {}
+    vecs = dict(emb)
+    for vid, v in emb:
+        for bkt in lsh_bucket_ids(v, n_tables, planes_per_table):
+            buckets.setdefault(bkt, []).append(vid)
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket_width:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    out = []
+    for a, b in pairs:
+        c = cosine(vecs[a], vecs[b])
+        if c >= min_cosine:
+            out.append((a, b, round_half_up(c, 4)))
+    return out
+
+
 # ----------------------------------------------------------------------
 # IVF
 # ----------------------------------------------------------------------

@@ -2,6 +2,11 @@
 (raw frames), SpanToBio (char-offset ↔ BIO projection), Labels.normalise
 (3-stage canonicalisation — the table itself is parsed out of Labels.scala,
 it is the data contract), and the Readers (S3-S7 decode).
+
+Provenance: ported from THIS repo's Scala (src/main/scala/graft/ingest/
+SpanToBio.scala, Labels.scala, Readers.scala), which pins the reference's
+span/label semantics via committed golden replays; the key-name chains
+(START_KEYS etc.) are that semantic contract's data, not copied code.
 """
 import json
 import os
