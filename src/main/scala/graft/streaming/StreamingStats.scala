@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful Structured-Streaming operators over the scored feed — the two
+  * shapes a continuous corpus ingest needs beyond the stateless lift:
+  *
+  *  - watermarked per-window quality stats (append mode: a window is
+  *    emitted exactly once, when the watermark passes its end; late rows
+  *    beyond the watermark are dropped — bounded state at any scale);
+  *  - first-seen streaming dedup via `flatMapGroupsWithState` (custom
+  *    per-key state): only the first row per key across ALL micro-batches
+  *    survives, the streaming analogue of `Dedup.dropExactDups`.
+  */
+object StreamingStats {
+
+  /** Per-event-time-window pipeline stats (files/kept/withPii/errors).
+    * State is bounded by the watermark: windows older than
+    * `watermarkDelay` are finalized, emitted, and evicted.
+    */
+  def windowedStats(
+      scored: DataFrame,
+      tsCol: String,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "1 minute"): DataFrame =
+    scored
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(
+        count(lit(1)).as("files"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("hasPii"), 1L).otherwise(0L)).as("withPii"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("files"), col("kept"), col("withPii"), col("errors"))
+
+  /** Streaming exact dedup: keep the FIRST row seen per key across micro-
+    * batches. Custom state (one Boolean per key) via flatMapGroupsWithState
+    * — at 10^9 keys pair with a state-store TTL/timeout policy; kept
+    * timeout-free here because the key space (content sha) of a bounded
+    * ingest window is what production would scope the state to.
+    */
+  def firstSeen(df: DataFrame, keyCol: String): DataFrame = {
+    val schema = df.schema
+    val idx = schema.fieldIndex(keyCol)
+    val rowEnc = Encoders.row(schema)
+    df.groupByKey((r: Row) => r.getString(idx))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestSession
+
+/** Watermark/window semantics and stateful first-seen dedup, pinned with
+  * MemoryStream micro-batches (deterministic watermark advancement:
+  * the watermark after each batch = max event time − delay, applied to the
+  * NEXT batch).
+  */
+class StreamingStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+
+  test("windowed stats: append emits closed windows once; late rows beyond watermark dropped") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Boolean, Boolean, String)]
+    val scored = in.toDF().toDF("ts", "keep", "hasPii", "error")
+    val q = StreamingStats.windowedStats(scored, "ts",
+        windowDur = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two rows in [10:00,10:01), one at 10:02:30
+    in.addData((ts("10:00:10"), true, false, null),
+      (ts("10:00:50"), true, true, null),
+      (ts("10:02:30"), false, false, "boom"))
+    q.processAllAvailable() // watermark after batch: 10:02:30 − 1m = 10:01:30
+
+    // batch 2: a LATE row for the already-passed 10:00 window (dropped) and
+    // an on-time row at 10:03:40
+    in.addData((ts("10:00:30"), true, false, null),
+      (ts("10:03:40"), true, false, null))
+    q.processAllAvailable() // watermark: 10:02:40 → closes [10:00,10:01)
+
+    // batch 3: advance far enough to close everything else
+    in.addData((ts("10:10:00"), true, false, null))
+    q.processAllAvailable() // watermark: 10:09:00
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("winstats")
+      .orderBy("window_start")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // the 10:00 window holds ONLY the two on-time rows — the late arrival
+    // was behind the watermark and dropped
+    assert(rows.contains(("2026-01-01 10:00:00.0", 2L, 2L, 1L, 0L)), rows.mkString(";"))
+    assert(rows.contains(("2026-01-01 10:02:00.0", 1L, 0L, 0L, 1L)))
+    assert(rows.contains(("2026-01-01 10:03:00.0", 1L, 1L, 0L, 0L)))
+  }
+
+  test("firstSeen: one row per key survives across micro-batches (stateful dedup)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val df = in.toDF().toDF("sha", "payload")
+    val q = StreamingStats.firstSeen(df, "sha")
+      .writeStream.format("memory").queryName("firstseen")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(("aaa", 1), ("bbb", 2), ("aaa", 3))
+    q.processAllAvailable()
+    in.addData(("aaa", 4), ("ccc", 5), ("bbb", 6))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("firstseen").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(out.map(_._1).sorted.toSeq == Seq("aaa", "bbb", "ccc"))
+    // the first batch's first occurrence won for aaa/bbb
+    val m = out.toMap
+    assert(m("ccc") == 5)
+    assert(Set(1, 3).contains(m("aaa")) && m("bbb") == 2)
+  }
+}
