@@ -172,6 +172,17 @@ object SparkEntry {
           round(avg(TextOps.tokenCount(col("text"))), 2).as("avg_tokens"))
     }),
 
+    // BPE-ish pretokenizer counts — oracle-checked (same regex evaluates
+    // identically under Java regex and DuckDB's RE2)
+    "q13b_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.bpeTokenCount(col("text"))).as("sum_bpe_tokens"),
+          round(avg(TextOps.bpeTokenCount(col("text"))), 2).as("avg_bpe_tokens"))
+    }),
+
     "q14_dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(t(s, dir, "documents"), "text", "doc_id")
         .groupBy(col("n_copies"))
@@ -381,21 +392,26 @@ object SparkEntry {
           countDistinct(expr("substring(label, 3)")).as("n_entity_types"))
     }),
 
-    // F4/F5/SP1/SP2: cap → rare-drop → stratified split → subset sizes
+    // F4/F5/SP1/SP2: cap → rare-drop → stratified split → subset sizes.
+    // All five cardinalities come from TWO aggregation jobs over the cached
+    // corpus (splitCounts: one pass for train/val/test; subsetCounts: one
+    // tagged window for both 1% subsets) — not one count() per number.
     "q32_prepare_splits" -> ((s, _) => {
       import graft.ingest.Prepare
       val corpus = graft.ingest.TaggedFixtures.consolidated(s, 800)
       val capped = Prepare.capSource(corpus, "finer_139", 1000)
       val (cleaned0, kept, dropped) = Prepare.dropRareEntities(capped, threshold = 50)
-      val cleaned = cleaned0.cache() // five downstream count actions reuse it
-      val (train, valSet, test) = Prepare.stratifiedSplit(cleaned)
+      val cleaned = cleaned0.cache()
+      val (nTrain, nVal, nTest) = Prepare.splitCounts(cleaned)
+      val (_, valSet, test) = Prepare.stratifiedSplit(cleaned)
+      val (nVal1p, nTest1p) = Prepare.subsetCounts(valSet, test)
       import s.implicits._
       Seq(
-        ("train", train.count(), kept.length.toLong),
-        ("val", valSet.count(), dropped.length.toLong),
-        ("test", test.count(), Prepare.buildLabelMapping(kept, dropped).numLabels.toLong),
-        ("val_1p", Prepare.stratifiedSubset(valSet).count(), 0L),
-        ("test_1p", Prepare.stratifiedSubset(test).count(), 0L)
+        ("train", nTrain, kept.length.toLong),
+        ("val", nVal, dropped.length.toLong),
+        ("test", nTest, Prepare.buildLabelMapping(kept, dropped).numLabels.toLong),
+        ("val_1p", nVal1p, 0L),
+        ("test_1p", nTest1p, 0L)
       ).toDF("split", "n_records", "aux")
     }),
 
@@ -508,6 +524,12 @@ object SparkEntry {
                   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
          round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END), 2) AS avg_tokens
+         FROM documents GROUP BY lang""",
+
+    "q13b_bpe_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))) AS BIGINT) AS sum_bpe_tokens,
+         round(avg(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))), 2) AS avg_bpe_tokens
          FROM documents GROUP BY lang""",
 
     "q14_dedup_exact" ->

@@ -122,6 +122,42 @@ object Prepare {
       .as[TaggedRecord](enc)
   }
 
+  /** All three split cardinalities in ONE aggregation pass (the naive
+    * form — one count() per hash-range filter — scans the corpus three
+    * times for numbers a single job produces).
+    */
+  def splitCounts(
+      ds: Dataset[TaggedRecord],
+      trainRatio: Double = TrainRatio,
+      valRatio: Double = ValRatio): (Long, Long, Long) = {
+    val u = unit("split")
+    val row = ds.toDF().agg(
+      sum(when(u < trainRatio, 1L).otherwise(0L)),
+      sum(when(u >= trainRatio && u < trainRatio + valRatio, 1L).otherwise(0L)),
+      sum(when(u >= trainRatio + valRatio, 1L).otherwise(0L))).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** Both 1%-subset cardinalities in one job: tag + union + one window over
+    * (tag, source) — identical per-split results to running
+    * `stratifiedSubset(...).count()` twice.
+    */
+  def subsetCounts(
+      valSet: Dataset[TaggedRecord], test: Dataset[TaggedRecord],
+      fraction: Double = SubsetFraction): (Long, Long) = {
+    val tagged = valSet.toDF().withColumn("__sp", lit("v"))
+      .unionByName(test.toDF().withColumn("__sp", lit("t")))
+    val w = Window.partitionBy(col("__sp"), col("source"))
+    val counts = tagged
+      .withColumn("rank", row_number().over(
+        w.orderBy(recHash("subset"), col("tokens").getItem(0))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rank") <= greatest(lit(1), floor(col("n") * fraction)))
+      .groupBy(col("__sp")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (counts.getOrElse("v", 0L), counts.getOrElse("t", 0L))
+  }
+
   /** Label mapping (py:179-186): labels = ["O"] ++ sorted types flatMapped
     * to B-/I-; id2label keys stringify to ints (JSON round-trip,
     * reference src/inference.py:95).

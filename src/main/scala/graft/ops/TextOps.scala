@@ -20,6 +20,18 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-style pretokenizer count: runs of letters / digits / other
+    * non-space symbols, each with an optional leading space, plus residual
+    * whitespace runs — the GPT-2 pretokenizer shape restricted to
+    * constructs both Java regex and RE2 (the DuckDB oracle) evaluate
+    * identically (no lookarounds, first-match-wins alternation with
+    * disjoint branches). Pure `regexp_count`: codegen'd, no UDF.
+    */
+  val BpeTokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
   /** Fraction of characters that are ASCII alphanumeric (0 for empty). */
   def alnumRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))

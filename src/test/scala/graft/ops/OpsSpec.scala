@@ -270,6 +270,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(0, 0, 1, 4))
   }
 
+  test("bpe-style token count matches hand computation") {
+    val df = Seq(
+      "hello world",      // "hello", " world"
+      "a1 b!",            // "a", "1", " b", "!"
+      "  x",              // "  ", "x"
+      "def f(x): return", // "def", " f", "(", "x", "):", " return"
+      ""                  // 0
+    ).toDF("text")
+    val got = df.select(TextOps.bpeTokenCount(col("text"))).as[Int].collect().toSeq
+    assert(got == Seq(2, 4, 2, 6, 0), got)
+  }
+
   test("quality signals are in-range over a real table") {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     val sig = TextOps.withQualitySignals(docs)
