@@ -83,6 +83,17 @@ object GoldenDump {
     }.mkString(","))
     sb.append("],\n")
 
+    // consolidated reader outputs (all five sources decoded end to end):
+    // per-record digest of tokens/labels, order-independent sum
+    val cons = graft.ingest.TaggedFixtures.consolidated(spark, 12).collect()
+    val perSource = cons.groupBy(_.source).map { case (src, rs) =>
+      val digest = rs.map(r => Hashing.fnv1a64(
+        r.tokens.mkString(" ") + "|" + r.labels.mkString(" ")))
+        .foldLeft(0L)(_ ^ _)
+      s""""$src": {"n": ${rs.length}, "xorDigest": $digest}"""
+    }
+    sb.append(s""""consolidated_12": {${perSource.mkString(",")}},\n""")
+
     // --- multimodal digests ----------------------------------------------
     val media = graft.ops.Multimodal.synthesize(spark, 4).collect().sortBy(_.media_id)
     sb.append("\"media_4\": [")

@@ -66,6 +66,18 @@ def main():
     assert got == g["raw_bio_5"]
     checks += 1
 
+    if "consolidated_12" in g:  # all five reader pipelines end to end
+        by_src = {}
+        for toks, labels, src in tagged.consolidated(12):
+            d = H.fnv1a64(" ".join(toks) + "|" + " ".join(labels)) & ((1 << 64) - 1)
+            n, x = by_src.get(src, (0, 0))
+            by_src[src] = (n + 1, x ^ d)
+        for src, exp in g["consolidated_12"].items():
+            n, x = by_src[src]
+            assert n == exp["n"], src
+            assert H.i64(x) == exp["xorDigest"], src
+            checks += 2
+
     got_media = [dict(kind=m["kind"], len=len(m["payload"]),
                       sha=hashlib.sha256(m["payload"]).hexdigest())
                  for m in multimodal.synthesize(4)]
