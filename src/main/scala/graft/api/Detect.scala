@@ -46,6 +46,41 @@ object Detect {
       .orderBy("idx")
   }
 
+  /** File-upload detect facade (reference api.py `/detect/file`,
+    * api.py:97-155 + 493-529): validate → read by extension → scrub.
+    *  - `.txt`  → one detect row per non-blank line (line grid);
+    *  - `.csv` / `.xlsx` → redacted grid, schema preserved, plus the
+    *    per-row `_pii_types` aggregate.
+    * Upload problems (missing/empty/oversized/unsupported/corrupt file)
+    * surface as `Uploads.UploadError` — the typed-4xx analogue.
+    */
+  def detectUpload(spark: SparkSession, path: String): DataFrame = {
+    import graft.ingest.Uploads
+    Uploads.validateUpload(path)
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "txt" =>
+        val scrubUdf = udf { (text: String) =>
+          val r = Scrubber.scrub(text)
+          (r.hasPii, r.scrubbed, r.piiTypes, r.error)
+        }
+        Uploads.readTxt(spark, path)
+          .withColumn("r", scrubUdf(col("line")))
+          .select(col("line"), col("r._1").as("hasPii"),
+            col("r._2").as("redactedText"), col("r._3").as("piiTypes"),
+            col("r._4").as("error"))
+      case "csv" => Uploads.scrubGrid(Uploads.readCsv(spark, path))
+      case "xlsx" =>
+        try Uploads.scrubGrid(Uploads.readXlsx(spark, path))
+        catch {
+          case e: Uploads.UploadError => throw e
+          case e: Exception => // corrupt zip/XML → typed error, never a 500
+            throw Uploads.UploadError(s"Unreadable spreadsheet: ${e.getMessage}")
+        }
+      case other => throw Uploads.UploadError(s"Unsupported file extension: .$other")
+    }
+  }
+
   /** `get_pii_statistics` over a detect-batch result
     * (reference src/inference.py:190-205).
     */

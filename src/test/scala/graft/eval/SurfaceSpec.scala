@@ -181,6 +181,20 @@ class SurfaceSpec extends AnyFunSuite {
     assert(!out(3).getAs[Boolean]("hasPii") && out(3).getAs[String]("error") == null)
   }
 
+  test("detectUpload: per-extension dispatch, typed error on corrupt xlsx") {
+    // txt → line grid with per-line scrub
+    val rows = Detect.detectUpload(spark, s"$res/upload_latin1.txt").collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[String]("error") == null))
+    // xlsx → redacted grid
+    val grid = Detect.detectUpload(spark, s"$res/upload_fixture.xlsx").orderBy("name").collect()
+    assert(grid(0).getAs[String]("email") == "mail [REDACTED] now")
+    // corrupt zip → typed UploadError, never an unhandled crash
+    val junk = Files.createTempFile("bad", ".xlsx")
+    Files.writeString(junk, "this is not a zip archive at all, just text")
+    val e = intercept[Uploads.UploadError] { Detect.detectUpload(spark, junk.toString) }
+    assert(e.getMessage.contains("Unreadable spreadsheet"))
+  }
+
   test("detectBatch: empty list and oversized batch raise (api.py:53, inference.py:371)") {
     intercept[Detect.EmptyBatchError] { Detect.detectBatch(spark, Seq.empty) }
     intercept[Detect.BatchTooLargeError] {
