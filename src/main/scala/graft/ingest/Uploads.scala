@@ -115,28 +115,25 @@ object Uploads {
       .filter(length(col("line")) > 0)
   }
 
-  /** `.csv` → all-string DataFrame with header (api.py:131), nulls → "". */
+  /** `.csv` → all-string DataFrame with header (api.py:131), nulls → "".
+    * ONE pass: with `inferSchema` off (the default) Spark's csv source
+    * already types every column String — the previous header-sniff +
+    * schema'd re-read doubled the file I/O for nothing.
+    */
   def readCsv(spark: SparkSession, path: String): DataFrame = {
     validateUpload(path)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val (cs, bom) = detectCharset(bytes)
-    if (cs == StandardCharsets.UTF_8 && bom == 0) {
-      val headered = spark.read.option("header", "true").csv(path)
-      val allString = StructType(headered.schema.fields.map(f =>
-        StructField(f.name, StringType, nullable = true)))
-      spark.read.option("header", "true").schema(allString).csv(path)
-        .na.fill("")
-    } else {
-      // decode driver-side, parse the decoded lines (cap-bounded upload path)
-      import spark.implicits._
-      val lines = spark.createDataset(
-        decodeBytes(bytes).split("\r\n|\r|\n", -1).toIndexedSeq)
-      val headered = spark.read.option("header", "true").csv(lines)
-      val allString = StructType(headered.schema.fields.map(f =>
-        StructField(f.name, StringType, nullable = true)))
-      spark.read.option("header", "true").schema(allString).csv(lines)
-        .na.fill("")
-    }
+    val raw =
+      if (cs == StandardCharsets.UTF_8 && bom == 0)
+        spark.read.option("header", "true").csv(path)
+      else {
+        // decode driver-side, parse the decoded lines (cap-bounded upload path)
+        import spark.implicits._
+        spark.read.option("header", "true").csv(spark.createDataset(
+          decodeBytes(bytes).split("\r\n|\r|\n", -1).toIndexedSeq))
+      }
+    raw.na.fill("")
   }
 
   // ------------------------------------------------------------------

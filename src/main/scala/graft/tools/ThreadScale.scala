@@ -11,7 +11,7 @@ object ThreadScale {
     val rows = (0L until 20000L).map(i => Fixtures.genRow(i)._1).toArray
     FastLangId.model; NgramLM.model
     rows.foreach(r => QualityFilter.analyze(r, FastLangId.model, NgramLM.model, QualityFilter.Default)) // warm
-    Seq(2, 4, 16, 24, 32).foreach { nt =>
+    Seq(2, 8, 32).foreach { nt =>
       val done = new AtomicLong()
       val t0 = System.nanoTime()
       val threads = (0 until nt).map { ti =>
