@@ -313,6 +313,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg(l2), 3).as("avg_l2"))
     }),
 
+    // end-to-end curation: exact dedup → near-dup removal → quality gate,
+    // over docs + planted exact copies + planted near-copies (all planted
+    // mass must vanish; survivors counted per lang)
+    "q35_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val exactCopies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang"))
+      val nearCopies = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9marker")).as("text"), col("lang"))
+      val corpus = docs.unionByName(exactCopies).unionByName(nearCopies)
+      graft.ops.Curation.curate(corpus, cfg = graft.ops.Curation.Config(minJaccard = 0.8))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_curated"),
+          sum(when(col("doc_id") >= 2000000L, 1L).otherwise(0L)).as("n_planted_survivors"))
+    }),
+
     // =================================================================
     // Windows / time
     // =================================================================

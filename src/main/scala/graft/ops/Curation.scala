@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the canonical composition of the
+  * verified operators, in the order a production pipeline runs them:
+  *
+  *   1. exact dedup (hash-groupBy, keep smallest id) — removes byte-
+  *      identical mass FIRST, which also deflates the degenerate LSH
+  *      buckets the near-dup stage guards against;
+  *   2. greedy near-dup removal (MinHash LSH candidates, est-Jaccard ≥
+  *      threshold, keep smallest id);
+  *   3. quality gate (alnum ratio + token count bounds from TextOps).
+  *
+  * Every stage is the already-specced operator; this is one lazy plan —
+  * no action, no persist — so Catalyst sees the whole chain.
+  */
+object Curation {
+
+  final case class Config(
+      minJaccard: Double = 0.85,
+      minAlnumRatio: Double = 0.40,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000)
+
+  val Default: Config = Config()
+
+  def curate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      cfg: Config = Default): DataFrame = {
+    val exact = Dedup.dropExactDups(docs, textCol, idCol)
+    val nearDeduped = Dedup.dropNearDups(exact, textCol, idCol, cfg.minJaccard)
+    nearDeduped
+      .filter(TextOps.alnumRatio(col(textCol)) >= cfg.minAlnumRatio &&
+        TextOps.tokenCount(col(textCol)).between(cfg.minTokens, cfg.maxTokens))
+  }
+}

@@ -152,6 +152,22 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(Dedup.simhash64(a), Dedup.simhash64(b)) > 16)
   }
 
+  test("curation composite: exact copy, near copy, and low-quality rows all removed") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                         // keeper
+      (2L, base),                         // exact copy → dropped at stage 1
+      (3L, base + " zz9marker"),          // near copy → dropped at stage 2
+      (4L, "+-*/ ++== (((( )))) [[[[ ]]]] {{{{ }}}}"), // low alnum → stage 3
+      (5L, "too short"),                  // 2 tokens → stage 3
+      (6L, "another perfectly reasonable document with plenty of alnum words")
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.Curation.curate(docs,
+        cfg = graft.ops.Curation.Config(minJaccard = 0.8))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L), s"kept $kept")
+  }
+
   // ------------------------------------------------------------------
   // Similarity
   // ------------------------------------------------------------------

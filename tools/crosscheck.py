@@ -106,6 +106,44 @@ def q20b(docs):
     return cols, sorted(hist.items())
 
 
+def q35(docs):
+    import re
+    base = [(d[0], d[1], d[2]) for d in docs]
+    corpus = (base
+              + [(i + 2000000, t, l) for i, t, l in base if i % 10 == 0]
+              + [(i + 3000000, t + " zz9marker", l) for i, t, l in base if i % 10 == 5])
+    # exact dedup: keep smallest id per identical text
+    by_text = {}
+    for i, t, l in corpus:
+        if t not in by_text or i < by_text[t][0]:
+            by_text[t] = (i, t, l)
+    exact = sorted(by_text.values())
+    # greedy near-dup removal at est_jaccard >= 0.8
+    pairs = dedup.near_dup_pairs([(i, t) for i, t, _l in exact], min_jaccard=0.8)
+    dropped = {b for _a, b, _e in pairs}
+    near = [(i, t, l) for i, t, l in exact if i not in dropped]
+    # quality gate (TextOps.alnumRatio / tokenCount semantics)
+    ws = re.compile(r"\s+", re.ASCII)
+    nonalnum = re.compile(r"[^A-Za-z0-9]")
+
+    def alnum_ratio(t):
+        return 0.0 if len(t) == 0 else len(nonalnum.sub("", t)) / len(t)
+
+    def tok_count(t):
+        s = t.strip("".join(chr(c) for c in range(0x21)))
+        return 0 if not s else len(ws.split(s))
+
+    groups = {}
+    for i, t, l in near:
+        if alnum_ratio(t) >= 0.40 and 5 <= tok_count(t) <= 100000:
+            g = groups.setdefault(l, [0, 0])
+            g[0] += 1
+            if i >= 2000000:
+                g[1] += 1
+    cols = ["lang", "n_curated", "n_planted_survivors"]
+    return cols, [(l, g[0], g[1]) for l, g in groups.items()]
+
+
 def _queries_of(emb):
     return [(vid, v) for vid, v in emb if vid % 50 == 0]
 
@@ -333,6 +371,7 @@ def main():
         "q22_ann_lsh": lambda: q22(emb),
         "q22b_ann_ivf": lambda: q22b(emb),
         "q22c_embedding_neardup": lambda: q22c(emb),
+        "q35_curation": lambda: q35(docs),
         "q27_pipeline_decisions": q27,
         "q28_pii_scrub_stats": q28,
         "q29_multimodal_meta": q29,
