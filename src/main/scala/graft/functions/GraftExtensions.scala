@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSignatureDescriptor)
   }
 }
 
@@ -29,9 +30,20 @@ object GraftExtensions {
       RollingFingerprintExpr(children.head)
     })
 
+  val minhashSignatureDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(
+      classOf[MinHashSignatureExpr].getName, "minhash_signature"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "minhash_signature takes exactly one argument")
+      MinHashSignatureExpr(children.head)
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = rollingFingerprintDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(rollingFingerprintDescriptor, minhashSignatureDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

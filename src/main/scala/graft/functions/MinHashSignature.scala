@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 64-permutation MinHash signature —
+  * the dominant CPU cost of near-duplicate detection (graft.ops.Dedup).
+  *
+  * vs the Scala-UDF form: `doGenCode` emits one static call inside
+  * WholeStageCodegen and the result is written as UnsafeArrayData directly
+  * (no Seq[Long] boxing, no encoder round-trip per row — at 10^9 documents
+  * the signature scan is exactly the loop you do not want behind a UDF).
+  * Output is bit-identical to Dedup.minhashSignature (pinned by spec and
+  * by the Python crosscheck).
+  */
+case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSignatureExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignatureExpr {
+
+  /** Static so generated code calls it directly; returns UnsafeArrayData
+    * (primitive long layout, zero boxing).
+    */
+  def compute(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.Dedup.minhashSignature(if (s == null) "" else s.toString))
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def minhash_signature(c: Column): Column =
+    ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(c)))
+}

@@ -76,13 +76,17 @@ object Dedup {
   val minhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => minhashSignature(text))
 
-  /** MinHash signature table: (id, sig). The signature UDF is the dominant
-    * CPU cost of near-dup detection — at scale compute this ONCE and
-    * `.persist()` it at the call site before deriving buckets/pairs (a lazy
-    * library function must not hide a persist the caller can't release).
+  /** MinHash signature table: (id, sig). The signature pass is the dominant
+    * CPU cost of near-dup detection — it runs as the NATIVE codegen
+    * expression (graft.functions.MinHashSignatureExpr: one static call
+    * inside WholeStageCodegen, UnsafeArrayData output, no UDF boxing).
+    * At scale compute this ONCE and `.persist()` it at the call site before
+    * deriving buckets/pairs (a lazy library function must not hide a
+    * persist the caller can't release).
     */
   def signatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), minhashUdf(col(textCol)).as("sig"))
+    df.select(col(idCol),
+      graft.functions.MinHashSignatureExpr.minhash_signature(col(textCol)).as("sig"))
 
   /** Per-document LSH bucket rows from a signature table:
     * (id, band, bucket) — `Bands` rows per doc; bucket key is the hash of

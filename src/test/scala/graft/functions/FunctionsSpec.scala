@@ -46,6 +46,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0) == got(1)) // case/whitespace-insensitive
   }
 
+  test("native minhash_signature equals the UDF form and stays in codegen") {
+    val df = Seq("the quick brown fox", "", "short", "x" * 500).toDF("text")
+    val rows = df.select(
+      MinHashSignatureExpr.minhash_signature(col("text")).as("native"),
+      graft.ops.Dedup.minhashUdf(col("text")).as("viaUdf")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // null in → null out (nullIntolerant; the legacy UDF hashed "" instead)
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(MinHashSignatureExpr.minhash_signature(col("text"))).head()
+    assert(n.isNullAt(0))
+    val ranged = spark.range(50).select(concat(lit("doc body "), col("id")).as("text"))
+      .select(MinHashSignatureExpr.minhash_signature(col("text")).as("sig"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [minhash_signature"), s"not codegen'd:\n$plan")
+    assert(ranged.selectExpr("size(sig)").distinct().head().getInt(0) == 64)
+  }
+
+  test("SQL registration: minhash_signature callable from SQL") {
+    GraftExtensions.install(spark)
+    spark.createDataset(Seq("alpha beta gamma delta epsilon"))
+      .toDF("text").createOrReplaceTempView("mh_test")
+    val got = spark.sql("SELECT size(minhash_signature(text)) AS n FROM mh_test")
+      .as[Int].head()
+    assert(got == 64)
+  }
+
   test("model artifacts: save/load round-trip, stringified id2label keys, required-file check") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     val m = Prepare.buildLabelMapping(Seq("PERSON", "EMAIL"), Seq("RARE"))
