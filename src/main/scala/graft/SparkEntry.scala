@@ -394,6 +394,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_media"), countDistinct(col("frame_hash")).as("n_distinct"))
     }),
 
+    // row-level pipeline digest: one xor-folded xxhash64 over EVERY row's
+    // (commit, keep, content sha, scrubbed sha, piiTypes, error) — pins the
+    // full flagship output bit-for-bit against the independent Python
+    // recomputation without dumping 5000 documents
+    "q36_pipeline_digest" -> ((s, _) => {
+      val res = QualityFilter.run(Fixtures.generate(s, 5000)).toDF()
+      val rowDigest = xxhash64(col("commit"), col("keep").cast("string"),
+        col("sha256"), sha2(coalesce(col("scrubbedContent"), lit("")), 256),
+        concat_ws(",", col("piiTypes")), coalesce(col("error"), lit("")))
+      res.select(rowDigest.as("d"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(d)").as("digest"))
+    }),
+
     // =================================================================
     // Corpus construction (reference consolidate/prepare lifecycle,
     // SURVEY.md §3.2) over synthesized raw sources — rows-only

@@ -198,6 +198,24 @@ def q28():
     return ["pii_type", "n_docs"], sorted(counts.items())
 
 
+def q36():
+    import hashlib
+    from graftcheck.hashes import spark_xxhash64, i64, M64
+    x = 0
+    n = 0
+    for cf, _gold, a in _analyses(5000):
+        scrubbed_sha = hashlib.sha256(
+            (a["scrubbedContent"] or "").encode()).hexdigest()
+        content_sha = hashlib.sha256(cf["content"].encode()).hexdigest()
+        d = spark_xxhash64([
+            cf["commit"], "true" if a["keep"] else "false",
+            content_sha, scrubbed_sha,
+            ",".join(a["piiTypes"]), a["error"] or ""])
+        x ^= d & M64
+        n += 1
+    return ["n_rows", "digest"], [(n, i64(x))]
+
+
 def q29():
     groups = {}
     for m in multimodal.decode_meta(multimodal.synthesize(3000)):
@@ -372,6 +390,7 @@ def main():
         "q22b_ann_ivf": lambda: q22b(emb),
         "q22c_embedding_neardup": lambda: q22c(emb),
         "q35_curation": lambda: q35(docs),
+        "q36_pipeline_digest": q36,
         "q27_pipeline_decisions": q27,
         "q28_pii_scrub_stats": q28,
         "q29_multimodal_meta": q29,
