@@ -246,6 +246,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // transitive near-dup clustering over a planted CHAIN (base ~ v1 ~ v2):
+    // connected components must collapse each chain to one representative;
+    // output = cluster-size histogram
+    "q19c_neardup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz9marker")).as("text"))
+      val v2 = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zz9marker yy8chain")).as("text"))
+      Dedup.nearDupClusters(docs.unionByName(v1).unionByName(v2),
+          "text", "doc_id", minJaccard = 0.8)
+        .groupBy(col("rep")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
     "q20_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("simhash", Dedup.simhashUdf(col("text")))

@@ -217,6 +217,47 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-duplicate clusters: connected components of the
+    * candidate-pair graph via iterative min-label propagation — the policy
+    * large dedup pipelines use when greedy pairwise dropping isn't enough
+    * (a chain a~b~c with a≁c must still collapse to ONE representative).
+    *
+    * Shape: each round is one equi-join (labels × bidirectional edges) +
+    * one min-aggregation; rounds = O(log component diameter), and near-dup
+    * components are short chains, so `maxIter` bounds any practical corpus.
+    * Each round persists its label table and unpersists the previous one
+    * (iterative algorithms must cut lineage or the plan grows
+    * exponentially); convergence is detected with a per-round changed-count
+    * and the loop exits early.
+    *
+    * Returns (id, rep): rep = min id of the component (singletons included).
+    */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.9, maxIter: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, minJaccard).select(col("a"), col("b"))
+    val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
+    labels.count() // materialize before the loop mutates the variable
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // each node adopts the smallest rep among itself and its neighbours
+      val viaNeighbour = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .select(col("a").as("id"), col("rep"))
+      val next = labels.unionByName(viaNeighbour)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
+        .filter(col("rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** Exact character-shingle Jaccard between two texts (verification). */
   def exactJaccard(a: String, b: String, shingleLen: Int = 7): Double = {
     val sa = shingleHashes(a, shingleLen).toSet

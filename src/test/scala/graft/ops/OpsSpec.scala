@@ -152,6 +152,29 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(Dedup.simhash64(a), Dedup.simhash64(b)) > 16)
   }
 
+  test("nearDupClusters: transitive chain a~b~c with a≁c collapses to one component") {
+    def doc(repl: Int) = (1 to 40).map(i =>
+      if (i <= repl) s"changed$i" else s"tok$i").mkString(" ")
+    val (a, b, c) = (doc(0), doc(4), doc(8)) // 4-token steps
+    def est(x: String, y: String) = {
+      val (sx, sy) = (Dedup.minhashSignature(x), Dedup.minhashSignature(y))
+      sx.zip(sy).count { case (p, q) => p == q } / 64.0
+    }
+    // pin the PREMISE: adjacent links are near at 0.65, the chain ends are not
+    assert(est(a, b) >= 0.65 && est(b, c) >= 0.65 && est(a, c) < 0.65,
+      s"fixture drifted: ${est(a, b)} ${est(b, c)} ${est(a, c)}")
+    val docs = Seq(
+      (5L, a), (2L, b), (9L, c), // min id sits in the MIDDLE link
+      (20L, "a completely unrelated document with different words entirely")
+    ).toDF("doc_id", "text")
+    val reps = Dedup.nearDupClusters(docs, "text", "doc_id", minJaccard = 0.65)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // greedy dropNearDups could never merge a and c; label propagation must
+    assert(reps(5L) == 2L && reps(2L) == 2L && reps(9L) == 2L,
+      s"chain not collapsed: $reps")
+    assert(reps(20L) == 20L) // singleton stays its own rep
+  }
+
   test("curation composite: exact copy, near copy, and low-quality rows all removed") {
     val base = (1 to 30).map(i => s"token$i").mkString(" ")
     val docs = Seq(

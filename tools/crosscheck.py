@@ -87,6 +87,36 @@ def q19b(docs):
     return ["is_variant", "n"], rows
 
 
+def q19c(docs):
+    base = [(d[0], d[1]) for d in docs]
+    corpus = (base
+              + [(i + 1000000, t + " zz9marker") for i, t in base]
+              + [(i + 2000000, t + " zz9marker yy8chain") for i, t in base])
+    pairs = dedup.near_dup_pairs(corpus, min_jaccard=0.8)
+    # union-find = exact connected components (the Spark side converges its
+    # min-label propagation to the same fixpoint)
+    parent = {i: i for i, _t in corpus}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _e in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = {}
+    for i, _t in corpus:
+        r = find(i)
+        sizes[r] = sizes.get(r, 0) + 1
+    hist = {}
+    for n in sizes.values():
+        hist[n] = hist.get(n, 0) + 1
+    return ["size", "n_clusters"], sorted(hist.items())
+
+
 def q20(docs):
     groups = {}
     for _id, text, lang, _src, _n in docs:
@@ -384,6 +414,7 @@ def main():
         "q18_minhash_bands": lambda: q18(docs, sigs),
         "q19_neardup_candidates": lambda: q19(docs),
         "q19b_neardup_dedup": lambda: q19b(docs),
+        "q19c_neardup_clusters": lambda: q19c(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),
         "q22_ann_lsh": lambda: q22(emb),
