@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.errors._
 import graft.scrub.Scrubber
 
 /** Serving-surface semantics of the reference detector API
@@ -10,25 +11,24 @@ import graft.scrub.Scrubber
   * library functions over Datasets — the REST layer itself is out of scope,
   * but every behavioural guarantee a client of `/detect/batch` relies on is
   * reproduced:
-  *  - empty input LIST raises (EmptyInputError, src/inference.py:371-372);
-  *  - batch cap 1000 texts (api.py:53, 323-327) raises;
+  *  - empty input LIST raises (EmptyInputError("texts list"), api.py:322);
+  *  - batch cap 1000 texts raises InvalidFieldError (api.py:53, 323-327);
   *  - per-ITEM problems never fail the batch: captured in `error`,
   *    output length always equals input length (src/inference.py:355-421);
-  *  - result shape mirrors `PIIResult.to_dict()` (src/inference.py:66-67).
+  *  - result shape mirrors `PIIResult.to_dict()` (src/inference.py:66-67);
+  *  - every failure is a `graft.errors.GraftError`, whose `toMap`/`toJson`
+  *    is the reference's `to_dict()` contract (exceptions.py:38).
   */
 object Detect {
 
   val MaxBatchTexts = 1000 // api.py:53
 
-  final case class BatchTooLargeError(n: Int)
-      extends Exception(s"Batch too large: $n texts (max $MaxBatchTexts)")
-  final case class EmptyBatchError()
-      extends Exception("texts list must not be empty")
-
   /** Distributed batch detect: one row per input text, index-aligned. */
   def detectBatch(spark: SparkSession, texts: Seq[String]): DataFrame = {
-    if (texts.isEmpty) throw EmptyBatchError()
-    if (texts.length > MaxBatchTexts) throw BatchTooLargeError(texts.length)
+    if (texts.isEmpty) throw EmptyInputError("texts list") // api.py:321-322
+    if (texts.length > MaxBatchTexts)
+      throw InvalidFieldError("texts",
+        s"list length ${texts.length} exceeds maximum allowed $MaxBatchTexts") // api.py:323-327
     import spark.implicits._
     val scrubUdf = udf { (text: String) =>
       val r = Scrubber.scrub(text)
@@ -52,7 +52,8 @@ object Detect {
     *  - `.csv` / `.xlsx` → redacted grid, schema preserved, plus the
     *    per-row `_pii_types` aggregate.
     * Upload problems (missing/empty/oversized/unsupported/corrupt file)
-    * surface as `Uploads.UploadError` — the typed-4xx analogue.
+    * surface as typed `graft.errors.GraftError`s — the reference's 4xx
+    * contract (api.py:473-479 routes exactly these classes to 400).
     */
   def detectUpload(spark: SparkSession, path: String): DataFrame = {
     import graft.ingest.Uploads
@@ -69,15 +70,22 @@ object Detect {
           .select(col("line"), col("r._1").as("hasPii"),
             col("r._2").as("redactedText"), col("r._3").as("piiTypes"),
             col("r._4").as("error"))
-      case "csv" => Uploads.scrubGrid(Uploads.readCsv(spark, path))
+      case "csv" =>
+        try Uploads.scrubGrid(Uploads.readCsv(spark, path))
+        catch {
+          case e: GraftError => throw e
+          case e: Exception => // parse failure → typed 4xx, never a 500 (api.py:131-133)
+            throw CSVParsingError(new java.io.File(path).getName, String.valueOf(e.getMessage))
+        }
       case "xlsx" =>
         try Uploads.scrubGrid(Uploads.readXlsx(spark, path))
         catch {
-          case e: Uploads.UploadError => throw e
-          case e: Exception => // corrupt zip/XML → typed error, never a 500
-            throw Uploads.UploadError(s"Unreadable spreadsheet: ${e.getMessage}")
+          case e: GraftError => throw e
+          case e: Exception => // corrupt zip/XML → typed 4xx, never a 500 (api.py:148-150)
+            throw ExcelParsingError(new java.io.File(path).getName, String.valueOf(e.getMessage))
         }
-      case other => throw Uploads.UploadError(s"Unsupported file extension: .$other")
+      case other =>
+        throw UnsupportedFileTypeError(new java.io.File(path).getName, s".$other")
     }
   }
 

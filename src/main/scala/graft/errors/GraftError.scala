@@ -1,0 +1,164 @@
+package graft.errors
+
+/** Typed error taxonomy — the reference's API error *contract*
+  * (reference src/exceptions.py:30-209): a 15-class hierarchy whose
+  * `to_dict()` (`exceptions.py:38`) is what every client sees as
+  * `{"error": <class name>, "message": <text>, "details": {...}}` with
+  * `details` omitted when empty.
+  *
+  * Reproduced as a sealed hierarchy so exhaustive matching works and the
+  * branch bases (`ModelError`, `InputError`, `FileParsingError`,
+  * `APIError`) can be caught as groups exactly like the reference's
+  * `isinstance` routing (api.py:277-281, 474-479). `toMap`/`toJson`
+  * mirror `to_dict` field-for-field, including `null` detail values
+  * (Python `None`) and list-valued details.
+  */
+sealed abstract class GraftError(
+    val message: String,
+    val details: Seq[(String, Any)] = Nil) extends Exception(message) {
+
+  /** The reference's `self.__class__.__name__` (exceptions.py:38). */
+  def errorName: String = {
+    val n = getClass.getSimpleName
+    if (n.endsWith("$")) n.dropRight(1) else n
+  }
+
+  /** `to_dict()` parity: details key present only when non-empty. */
+  def toMap: Map[String, Any] = {
+    val base = Map[String, Any]("error" -> errorName, "message" -> message)
+    if (details.isEmpty) base else base + ("details" -> details.toMap)
+  }
+
+  /** Deterministic JSON (insertion order: error, message, details). */
+  def toJson: String = {
+    val d =
+      if (details.isEmpty) ""
+      else details.map { case (k, v) => GraftError.jsonStr(k) + ":" + GraftError.jsonVal(v) }
+        .mkString(",\"details\":{", ",", "}")
+    s"""{"error":${GraftError.jsonStr(errorName)},"message":${GraftError.jsonStr(message)}$d}"""
+  }
+}
+
+object GraftError {
+  private[errors] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private[errors] def jsonVal(v: Any): String = v match {
+    case null | None => "null"
+    case Some(x) => jsonVal(x)
+    case s: String => jsonStr(s)
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Double => n.toString
+    case b: Boolean => b.toString
+    case xs: Seq[_] => xs.map(jsonVal).mkString("[", ",", "]")
+    case other => jsonStr(other.toString)
+  }
+}
+
+// ---------------------------------------------------------------------
+// Model errors (exceptions.py:50-95)
+// ---------------------------------------------------------------------
+sealed abstract class ModelError(message: String, details: Seq[(String, Any)] = Nil)
+    extends GraftError(message, details)
+
+/** Model directory or required files absent (exceptions.py:54-63). */
+final case class ModelNotFoundError(modelPath: String) extends ModelError(
+  s"Model not found at '$modelPath'. " +
+    "Run the training pipeline first or point --model-path to a valid directory.",
+  Seq("model_path" -> modelPath))
+
+/** Files exist but could not be loaded (exceptions.py:66-74). */
+final case class ModelLoadError(modelPath: String, reason: String) extends ModelError(
+  s"Failed to load model from '$modelPath': $reason",
+  Seq("model_path" -> modelPath, "reason" -> reason))
+
+/** Forward-pass failure (exceptions.py:77-84). */
+final case class ModelInferenceError(reason: String) extends ModelError(
+  s"Inference failed: $reason",
+  Seq("reason" -> reason))
+
+// ---------------------------------------------------------------------
+// Input errors (exceptions.py:91-135)
+// ---------------------------------------------------------------------
+sealed abstract class InputError(message: String, details: Seq[(String, Any)] = Nil)
+    extends GraftError(message, details)
+
+/** Empty string / list / blank file (exceptions.py:95-102). */
+final case class EmptyInputError(context: String = "input") extends InputError(
+  s"Empty $context provided. At least one non-blank text is required.",
+  Seq("context" -> context))
+
+/** Single text over the length cap (exceptions.py:105-112). */
+final case class InputTooLargeError(length: Long, maxLength: Long) extends InputError(
+  s"Input length $length characters exceeds maximum allowed $maxLength.",
+  Seq("length" -> length, "max_length" -> maxLength))
+
+/** Non-string where a string is expected (exceptions.py:115-123). */
+final case class InvalidInputTypeError(receivedType: String, position: Option[Int] = None)
+    extends InputError(
+      s"Expected a string${position.map(p => s" at position $p").getOrElse("")}, got '$receivedType'.",
+      Seq("received_type" -> receivedType, "position" -> position))
+
+// ---------------------------------------------------------------------
+// File parsing errors (exceptions.py:127-183)
+// ---------------------------------------------------------------------
+sealed abstract class FileParsingError(message: String, details: Seq[(String, Any)] = Nil)
+    extends GraftError(message, details)
+
+object UnsupportedFileTypeError {
+  /** This engine's parseable formats; the reference also lists `.xls`
+    * (exceptions.py:135) but that legacy binary format needs a codec not
+    * available offline — honest subset, same contract shape.
+    */
+  val Supported: Seq[String] = Seq(".txt", ".csv", ".xlsx")
+}
+
+/** Extension not supported (exceptions.py:132-143). */
+final case class UnsupportedFileTypeError(filename: String, extension: String)
+    extends FileParsingError(
+      s"Unsupported file type '$extension' for file '$filename'. " +
+        s"Supported types: ${UnsupportedFileTypeError.Supported.mkString(", ")}.",
+      Seq("filename" -> filename, "extension" -> extension,
+        "supported" -> UnsupportedFileTypeError.Supported))
+
+/** File unreadable (exceptions.py:146-153). */
+final case class FileReadError(filename: String, reason: String) extends FileParsingError(
+  s"Could not read file '$filename': $reason",
+  Seq("filename" -> filename, "reason" -> reason))
+
+/** Plain-text parse failure (exceptions.py:156-163). */
+final case class TextFileParsingError(filename: String, reason: String) extends FileParsingError(
+  s"Failed to parse text file '$filename': $reason",
+  Seq("filename" -> filename, "reason" -> reason))
+
+/** CSV parse failure (exceptions.py:166-173). */
+final case class CSVParsingError(filename: String, reason: String) extends FileParsingError(
+  s"Failed to parse CSV file '$filename': $reason",
+  Seq("filename" -> filename, "reason" -> reason))
+
+/** Excel parse failure (exceptions.py:176-183). */
+final case class ExcelParsingError(filename: String, reason: String) extends FileParsingError(
+  s"Failed to parse Excel file '$filename': $reason",
+  Seq("filename" -> filename, "reason" -> reason))
+
+// ---------------------------------------------------------------------
+// API errors (exceptions.py:189-209)
+// ---------------------------------------------------------------------
+sealed abstract class APIError(message: String, details: Seq[(String, Any)] = Nil)
+    extends GraftError(message, details)
+
+/** Required field absent from the request body (exceptions.py:193-200). */
+final case class MissingFieldError(field: String) extends APIError(
+  s"Missing required field '$field' in request body.",
+  Seq("field" -> field))
+
+/** Field present but invalid (exceptions.py:203-209). */
+final case class InvalidFieldError(field: String, reason: String) extends APIError(
+  s"Invalid value for field '$field': $reason",
+  Seq("field" -> field, "reason" -> reason))

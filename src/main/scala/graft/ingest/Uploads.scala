@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.pipeline.QualityFilter
+import graft.errors._
 
 /** Upload-file ingestion (reference src/api.py:97-155) + the tabular
   * scrub fan-out / redacted-grid rebuild (api.py:493-529).
@@ -33,17 +33,25 @@ object Uploads {
   val AllowedExtensions: Set[String] = Set("txt", "csv", "xlsx") // api.py:59
   val MaxBatchTexts = 1000 // api.py:53
 
-  final case class UploadError(message: String) extends Exception(message)
+  private def fileName(path: String): String = new java.io.File(path).getName
 
+  /** Upload guards with the reference's exact error taxonomy
+    * (api.py:406-423): empty → EmptyInputError, oversized →
+    * InvalidFieldError("file", …), bad extension →
+    * UnsupportedFileTypeError; an unreadable path is FileReadError.
+    */
   def validateUpload(path: String): Unit = {
     val f = new java.io.File(path)
-    if (!f.exists()) throw UploadError(s"File not found: $path")
-    if (f.length() == 0) throw UploadError("Empty file") // api.py:108-110
+    val name = f.getName
+    if (!f.exists()) throw FileReadError(name, s"file not found: $path")
+    if (f.length() == 0) throw EmptyInputError(s"uploaded file '$name'") // api.py:412-413
     if (f.length() > MaxFileBytes)
-      throw UploadError(s"File too large: ${f.length()} bytes (max $MaxFileBytes)")
-    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
-    if (!AllowedExtensions.contains(ext))
-      throw UploadError(s"Unsupported file extension: .$ext")
+      throw InvalidFieldError("file",
+        f"file size ${f.length() / 1024.0 / 1024.0}%.1f MB exceeds maximum ${MaxFileBytes / 1024 / 1024} MB") // api.py:414-419
+    val dot = name.lastIndexOf('.')
+    val ext = if (dot < 0) "" else name.substring(dot).toLowerCase
+    if (!AllowedExtensions.contains(ext.stripPrefix(".")))
+      throw UnsupportedFileTypeError(name, ext) // api.py:421-423
   }
 
   // ------------------------------------------------------------------
@@ -94,13 +102,44 @@ object Uploads {
     (decodeBytes(bytes), cs)
   }
 
-  /** `.txt` → DataFrame(line): trimmed, blanks removed (api.py:113-114). */
+  /** Python-whitespace character class — every char `str.isspace()` is true
+    * for (and `str.strip()` removes): Java's `\s` is ASCII-only, so a line
+    * padded with U+00A0/U+2028 would be stripped by the reference
+    * (api.py:113 `line.strip()`) but not by `\s` — exact parity needs the
+    * explicit class (even `(?U)\s` misses U+001C-001F, which Python strips).
+    */
+  val PyWhitespaceClass: String =
+    "[\\t\\n\\u000B\\f\\r \\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+  val PyStripRegex: String = s"^$PyWhitespaceClass+|$PyWhitespaceClass+$$"
+
+  /** `str.strip()` parity as a pure function (golden-pinned vs CPython). */
+  def pyStrip(s: String): String = s.replaceAll(PyStripRegex, "")
+
+  /** Python `str.splitlines()` boundaries BEYOND \n / \r\n / \r — the Hadoop
+    * line reader and a `\r\n|\r|\n` split already handle those three; Python
+    * additionally breaks on VT, FF, FS/GS/RS, NEL, LS, PS (api.py:113).
+    */
+  val PySplitlinesExtraClass: String =
+    "[\\u000B\\f\\u001C\\u001D\\u001E\\u0085\\u2028\\u2029]"
+
+  /** `str.splitlines()` parity for a whole decoded string. */
+  def pySplitlines(s: String): Seq[String] =
+    s.split(s"\\r\\n|[\\n\\r]|$PySplitlinesExtraClass", -1).toIndexedSeq
+
+  /** The reference's whole txt contract in one pure function
+    * (api.py:113-114: `[l.strip() for l in text.splitlines() if l.strip()]`)
+    * — golden-pinned bit-for-bit against CPython in graftcheck/selftest.
+    */
+  def pyLines(s: String): Seq[String] =
+    pySplitlines(s).map(pyStrip).filter(_.nonEmpty)
+
+  /** `.txt` → DataFrame(line): split like `str.splitlines()`, trimmed like
+    * `str.strip()`, blanks removed (api.py:113-114).
+    */
   def readTxt(spark: SparkSession, path: String): DataFrame = {
     validateUpload(path)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val (cs, bom) = detectCharset(bytes)
-    // note: Spark's trim() strips ASCII spaces only; the reference strips
-    // ALL whitespace (python str.strip) — use a regex trim for parity
     val raw =
       if (cs == StandardCharsets.UTF_8 && bom == 0)
         spark.read.text(path) // distributed fast path: file already UTF-8
@@ -108,10 +147,12 @@ object Uploads {
         // non-UTF-8 upload: decode driver-side (bounded by the 50 MB cap —
         // this is the reference's own in-memory decode, not the 100 TB path)
         import spark.implicits._
-        spark.createDataset(decodeBytes(bytes).split("\n", -1).toIndexedSeq).toDF("value")
+        spark.createDataset(pySplitlines(decodeBytes(bytes)).toIndexedSeq).toDF("value")
       }
     raw
-      .select(regexp_replace(col("value"), "^\\s+|\\s+$", "").as("line"))
+      // Hadoop split \n/\r\n/\r; Python also breaks on VT/FF/FS/GS/RS/NEL/LS/PS
+      .select(explode(split(col("value"), PySplitlinesExtraClass)).as("value"))
+      .select(regexp_replace(col("value"), PyStripRegex, "").as("line"))
       .filter(length(col("line")) > 0)
   }
 
@@ -154,6 +195,17 @@ object Uploads {
       def parse(name: String): org.w3c.dom.Document = {
         val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
         f.setNamespaceAware(false)
+        // Uploads are attacker-controlled: a DOCTYPE in sheet XML enables
+        // XXE (local-file read echoed into redacted cells, SSRF) and
+        // billion-laughs entity expansion on the driver. Kill both at the
+        // parser: no doctypes at all (OOXML never needs one), no external
+        // entities, secure-processing limits on.
+        f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+        f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+        f.setXIncludeAware(false)
+        f.setExpandEntityReferences(false)
         f.newDocumentBuilder().parse(zip.getInputStream(zip.getEntry(name)))
       }
       // shared strings are optional
@@ -168,7 +220,7 @@ object Uploads {
           }.toVector
         } else Vector.empty
       val sheetName = entries.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).sorted
-        .headOption.getOrElse(throw UploadError(s"No worksheet in $path"))
+        .headOption.getOrElse(throw ExcelParsingError(fileName(path), "no worksheet found"))
       val doc = parse(sheetName)
 
       // "A1" → 0-based column index
@@ -207,10 +259,17 @@ object Uploads {
           idx -> cellText(c)
         }.toMap
       }.toVector
-      if (rows.isEmpty) throw UploadError(s"Empty spreadsheet: $path")
+      if (rows.isEmpty) throw EmptyInputError(s"Excel file '${fileName(path)}'") // api.py:152-153
 
-      val nCols = rows.head.keys.max + 1
-      val header = (0 until nCols).map(i => rows.head.getOrElse(i, s"Unnamed: $i"))
+      // width = max cell index across ALL rows: a sparse/empty header row
+      // must not truncate data columns (pandas surfaces the extras as
+      // 'Unnamed: N'), and an all-empty grid is a typed error, not a crash
+      val nCols = rows.iterator.flatMap(_.keys).foldLeft(-1)(math.max) + 1
+      if (nCols == 0) throw EmptyInputError(s"Excel file '${fileName(path)}'")
+      val header = (0 until nCols).map { i =>
+        val h = rows.head.getOrElse(i, "")
+        if (h.isEmpty) s"Unnamed: $i" else h // pandas names blank headers 'Unnamed: N'
+      }
       val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
       val data = rows.tail.map { m =>
         org.apache.spark.sql.Row.fromSeq((0 until nCols).map(i => m.getOrElse(i, "")))

@@ -20,22 +20,23 @@ object ModelArtifacts {
   /** Files that must exist in a model directory (src/inference.py:39). */
   val RequiredFiles: Set[String] = Set("label_mapping.json", "config.json")
 
-  final case class ModelLoadError(message: String) extends Exception(message)
-
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Reference `_validate_model_dir`: missing dir or missing required file
-    * → typed error listing what is absent (src/inference.py:211-219).
+  /** Reference `_validate_model_path` (src/inference.py:211-219): missing
+    * dir → ModelNotFoundError, missing required files → ModelLoadError with
+    * the sorted file list — same classes, same message shapes
+    * (graft.errors mirrors exceptions.py:54-74).
     */
   def validateModelDir(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
     if (!f.exists(new Path(dir)))
-      throw ModelLoadError(s"Model directory not found: $dir")
+      throw graft.errors.ModelNotFoundError(dir)
     val present = f.listStatus(new Path(dir)).map(_.getPath.getName).toSet
     val missing = RequiredFiles -- present
     if (missing.nonEmpty)
-      throw ModelLoadError(s"Model directory missing required files: ${missing.toSeq.sorted.mkString(", ")}")
+      throw graft.errors.ModelLoadError(dir,
+        s"Missing required files: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
   private def esc(s: String): String =

@@ -110,6 +110,28 @@ object GoldenDump {
     sb.append(s""""langid_python_corpus": {"lang": ${jstr(lp.lang)}, "conf": ${lp.confidence}},\n""")
     sb.append(s""""ppl_pydef": $lm,\n""")
 
+    // --- python str.strip / str.splitlines parity (upload txt contract) ---
+    // tricky cases: NBSP / LS / PS / NEL / FS-GS-RS / ogham / ideographic
+    // space are Python-whitespace; ZWSP (U+200B) and Mongolian vowel
+    // separator (U+180E) are NOT and must survive.
+    val stripCases = Seq(
+      "\u00a0\u00a0caf\u00e9 padded\u00a0 ", // NBSP padding
+      "first\u2028second\u2029third", // LS / PS separators
+      "a\u001cb\u001dc\u001ed", // FS / GS / RS separators
+      "\u0085nel-led line\u0085", // NEL pad + separator
+      "\u000bvt\ftab\u3000ideographic\u3000", // VT / FF / ideographic space
+      "\u1680ogham\u1680 \u2000\u200aen-hair \u202f\u205fnarrow", // unicode spaces
+      "\u200bzwsp kept\u200b", // ZWSP is NOT python whitespace
+      "\u180emongolian kept\u180e", // U+180E NOT whitespace in python3
+      "mixed\r\ncrlf\rcr\nlf",
+      "   only-blanks \u00a0\u2028\u00a0 ")
+    sb.append("\"py_txt_lines\": [")
+    sb.append(stripCases.map { s =>
+      val lines = graft.ingest.Uploads.pyLines(s)
+      s"""{"input": ${jstr(s)}, "lines": [${lines.map(jstr).mkString(",")}]}"""
+    }.mkString(","))
+    sb.append("],\n")
+
     // --- minhash / simhash ------------------------------------------------
     val mh = graft.ops.Dedup.minhashSignature("the quick brown fox jumps over the lazy dog")
     sb.append(s""""minhash_fox": [${mh.mkString(",")}],\n""")

@@ -1,0 +1,84 @@
+package graft.errors
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the error contract to the reference's `to_dict()` shape
+  * (reference src/exceptions.py:30-209): `error` = class name, `message` =
+  * the exact reference format string, `details` = the exact reference keys,
+  * omitted when empty — for every class in the 15-class hierarchy.
+  */
+class GraftErrorSpec extends AnyFunSuite {
+
+  test("to_dict parity: model errors (exceptions.py:54-84)") {
+    val nf = ModelNotFoundError("/models/pii")
+    assert(nf.toJson ==
+      """{"error":"ModelNotFoundError","message":"Model not found at '/models/pii'. Run the training pipeline first or point --model-path to a valid directory.","details":{"model_path":"/models/pii"}}""")
+    val le = ModelLoadError("/m", "corrupt weights")
+    assert(le.toMap("error") == "ModelLoadError")
+    assert(le.getMessage == "Failed to load model from '/m': corrupt weights")
+    assert(le.details.toMap == Map("model_path" -> "/m", "reason" -> "corrupt weights"))
+    val ie = ModelInferenceError("oom")
+    assert(ie.toJson == """{"error":"ModelInferenceError","message":"Inference failed: oom","details":{"reason":"oom"}}""")
+  }
+
+  test("to_dict parity: input errors (exceptions.py:95-123)") {
+    assert(EmptyInputError().getMessage ==
+      "Empty input provided. At least one non-blank text is required.")
+    assert(EmptyInputError("texts list").toJson ==
+      """{"error":"EmptyInputError","message":"Empty texts list provided. At least one non-blank text is required.","details":{"context":"texts list"}}""")
+    assert(InputTooLargeError(99, 50).toJson ==
+      """{"error":"InputTooLargeError","message":"Input length 99 characters exceeds maximum allowed 50.","details":{"length":99,"max_length":50}}""")
+    // python renders position=None as null; the no-position message drops the clause
+    assert(InvalidInputTypeError("int", Some(3)).getMessage ==
+      "Expected a string at position 3, got 'int'.")
+    assert(InvalidInputTypeError("dict").toJson ==
+      """{"error":"InvalidInputTypeError","message":"Expected a string, got 'dict'.","details":{"received_type":"dict","position":null}}""")
+  }
+
+  test("to_dict parity: file parsing errors (exceptions.py:132-183)") {
+    val u = UnsupportedFileTypeError("doc.pdf", ".pdf")
+    assert(u.getMessage ==
+      "Unsupported file type '.pdf' for file 'doc.pdf'. Supported types: .txt, .csv, .xlsx.")
+    assert(u.toJson.contains(""""supported":[".txt",".csv",".xlsx"]"""))
+    assert(FileReadError("a.txt", "permission denied").getMessage ==
+      "Could not read file 'a.txt': permission denied")
+    assert(TextFileParsingError("a.txt", "boom").getMessage ==
+      "Failed to parse text file 'a.txt': boom")
+    assert(CSVParsingError("a.csv", "bad quote").getMessage ==
+      "Failed to parse CSV file 'a.csv': bad quote")
+    assert(ExcelParsingError("a.xlsx", "not a zip").getMessage ==
+      "Failed to parse Excel file 'a.xlsx': not a zip")
+  }
+
+  test("to_dict parity: api errors (exceptions.py:193-209)") {
+    assert(MissingFieldError("texts").toJson ==
+      """{"error":"MissingFieldError","message":"Missing required field 'texts' in request body.","details":{"field":"texts"}}""")
+    assert(InvalidFieldError("file", "too big").getMessage ==
+      "Invalid value for field 'file': too big")
+  }
+
+  test("hierarchy routes like the reference's isinstance groups (api.py:277-281, 474-479)") {
+    // each branch base catches its leaves; GraftError catches everything
+    def classify(e: GraftError): String = e match {
+      case _: ModelError => "model"
+      case _: InputError => "input"
+      case _: FileParsingError => "file"
+      case _: APIError => "api"
+    }
+    assert(classify(ModelNotFoundError("/m")) == "model")
+    assert(classify(EmptyInputError()) == "input")
+    assert(classify(ExcelParsingError("f", "r")) == "file")
+    assert(classify(MissingFieldError("x")) == "api")
+    // GraftError IS an Exception — usable in ordinary try/catch plumbing
+    val caught = try { throw InvalidFieldError("texts", "r"); false }
+    catch { case _: Exception => true }
+    assert(caught)
+  }
+
+  test("json escaping: quotes, backslashes, control chars in messages") {
+    val e = FileReadError("we\"ird\\name.txt", "line1\nline2\ttab")
+    // must parse as a single JSON object — spot-check the escapes
+    assert(e.toJson.contains("""we\"ird\\name.txt"""))
+    assert(e.toJson.contains("line1\\u000aline2\\u0009tab"))
+  }
+}

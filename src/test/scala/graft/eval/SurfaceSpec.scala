@@ -38,12 +38,16 @@ class SurfaceSpec extends AnyFunSuite {
     assert(rows(1).getString(1) == "")
   }
 
-  test("upload guards: empty file, bad extension") {
+  test("upload guards: typed taxonomy errors (exceptions.py:95-143, api.py:406-423)") {
     val empty = Files.createTempFile("up", ".txt")
-    intercept[Uploads.UploadError] { Uploads.readTxt(spark, empty.toString) }
+    val e1 = intercept[graft.errors.EmptyInputError] { Uploads.readTxt(spark, empty.toString) }
+    assert(e1.getMessage.startsWith("Empty uploaded file '"))
     val bad = Files.createTempFile("up", ".pdf")
     Files.writeString(bad, "x")
-    intercept[Uploads.UploadError] { Uploads.validateUpload(bad.toString) }
+    val e2 = intercept[graft.errors.UnsupportedFileTypeError] { Uploads.validateUpload(bad.toString) }
+    assert(e2.extension == ".pdf" && e2.details.toMap.apply("supported") == Seq(".txt", ".csv", ".xlsx"))
+    val e3 = intercept[graft.errors.FileReadError] { Uploads.validateUpload("/no/such/file.txt") }
+    assert(e3.errorName == "FileReadError")
   }
 
   private val res = "src/test/resources"
@@ -79,6 +83,69 @@ class SurfaceSpec extends AnyFunSuite {
       rows(0).getString(2) == "rich text run")
     assert(rows(1).getString(0) == "bob" && rows(1).getString(1) == "" &&
       rows(1).getString(2) == "42") // missing cell → "", numeric cell → string
+  }
+
+  test("txt upload: unicode whitespace stripped + splitlines parity (api.py:113 str.strip/splitlines)") {
+    // fixture bytes: NBSP-padded line, U+2028-separated pair, U+3000 pads,
+    // ZWSP (must survive — not python whitespace), NBSP-only blank,
+    // FS/GS separators; expected list is CPython's own
+    // [l.strip() for l in text.splitlines() if l.strip()]
+    val got = Uploads.readTxt(spark, s"$res/upload_unicode_ws.txt").as[String].collect()
+    assert(got.toSeq == Seq("padded nbsp", "alpha", "beta", "wide",
+      "\u200bzwsp\u200b", "fs-separated", "gs"))
+  }
+
+  /** Minimal in-test xlsx builder (zip + the two XML parts readXlsx reads). */
+  private def writeXlsx(sheetXml: String): String = {
+    val p = Files.createTempFile("built", ".xlsx")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/worksheets/sheet1.xml", sheetXml)
+    zos.close()
+    p.toString
+  }
+
+  test("xlsx upload: sparse/short header row — width from ALL rows, extras 'Unnamed: N'") {
+    // header row has ONE cell; data row has three → pandas-style Unnamed cols
+    val path = writeXlsx(
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>a</t></is></c><c r="B2" t="inlineStr"><is><t>b</t></is></c><c r="C2" t="inlineStr"><is><t>c</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    val df = Uploads.readXlsx(spark, path)
+    assert(df.columns.toSeq == Seq("only", "Unnamed: 1", "Unnamed: 2"))
+    val r = df.head()
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getString(2) == "c")
+    // a first <row> with zero cells must not crash either (typed behaviour)
+    val path2 = writeXlsx(
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>x</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    val df2 = Uploads.readXlsx(spark, path2)
+    assert(df2.columns.toSeq == Seq("Unnamed: 0") && df2.head().getString(0) == "x")
+    // all rows empty → typed EmptyInputError, not UnsupportedOperationException
+    val path3 = writeXlsx("""<?xml version="1.0"?><worksheet><sheetData><row r="1"></row></sheetData></worksheet>""")
+    intercept[graft.errors.EmptyInputError] { Uploads.readXlsx(spark, path3) }
+  }
+
+  test("xlsx upload: DOCTYPE (XXE / billion-laughs vector) is rejected, typed error") {
+    // attacker-controlled upload with an external entity — the hardened
+    // parser must refuse the DOCTYPE outright, surfaced as ExcelParsingError
+    val path = writeXlsx(
+      """<?xml version="1.0"?>
+        |<!DOCTYPE worksheet [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>&xxe;</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    val e = intercept[graft.errors.ExcelParsingError] {
+      graft.api.Detect.detectUpload(spark, path)
+    }
+    assert(e.getMessage.contains("DOCTYPE"))
   }
 
   test("xlsx upload round-trips through the grid scrub") {
@@ -188,18 +255,20 @@ class SurfaceSpec extends AnyFunSuite {
     // xlsx → redacted grid
     val grid = Detect.detectUpload(spark, s"$res/upload_fixture.xlsx").orderBy("name").collect()
     assert(grid(0).getAs[String]("email") == "mail [REDACTED] now")
-    // corrupt zip → typed UploadError, never an unhandled crash
+    // corrupt zip → typed ExcelParsingError (api.py:148-150), never a crash
     val junk = Files.createTempFile("bad", ".xlsx")
     Files.writeString(junk, "this is not a zip archive at all, just text")
-    val e = intercept[Uploads.UploadError] { Detect.detectUpload(spark, junk.toString) }
-    assert(e.getMessage.contains("Unreadable spreadsheet"))
+    val e = intercept[graft.errors.ExcelParsingError] { Detect.detectUpload(spark, junk.toString) }
+    assert(e.getMessage.startsWith("Failed to parse Excel file '"))
   }
 
-  test("detectBatch: empty list and oversized batch raise (api.py:53, inference.py:371)") {
-    intercept[Detect.EmptyBatchError] { Detect.detectBatch(spark, Seq.empty) }
-    intercept[Detect.BatchTooLargeError] {
+  test("detectBatch: empty list and oversized batch raise (api.py:321-327)") {
+    val e1 = intercept[graft.errors.EmptyInputError] { Detect.detectBatch(spark, Seq.empty) }
+    assert(e1.context == "texts list")
+    val e2 = intercept[graft.errors.InvalidFieldError] {
       Detect.detectBatch(spark, Seq.fill(1001)("x"))
     }
+    assert(e2.getMessage == "Invalid value for field 'texts': list length 1001 exceeds maximum allowed 1000")
   }
 
   test("detect statistics: with + without == total, distribution desc (test_detector.py:268-290)") {

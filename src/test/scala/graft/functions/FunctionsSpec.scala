@@ -84,10 +84,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(loaded.droppedEntityTypes == Seq("RARE"))
     // missing-file validation (src/inference.py:211-219)
     val bad = java.nio.file.Files.createTempDirectory("graft-bad").toString
-    intercept[ModelArtifacts.ModelLoadError] {
+    val e1 = intercept[graft.errors.ModelLoadError] {
       ModelArtifacts.validateModelDir(spark, bad)
     }
-    intercept[ModelArtifacts.ModelLoadError] {
+    assert(e1.getMessage.contains("Missing required files: config.json, label_mapping.json"))
+    intercept[graft.errors.ModelNotFoundError] {
       ModelArtifacts.validateModelDir(spark, "/nonexistent-model-dir")
     }
     // broadcast path

@@ -92,6 +92,12 @@ def main():
     assert ppl == g["ppl_pydef"], "perplexity not bit-exact"
     checks += 3
 
+    if "py_txt_lines" in g:  # JVM regex strip/splitlines vs CPython built-ins
+        from graftcheck import uploads
+        for case in g["py_txt_lines"]:
+            assert uploads.txt_lines(case["input"]) == case["lines"], repr(case["input"])
+            checks += 1
+
     fox = "the quick brown fox jumps over the lazy dog"
     assert dedup.minhash_signature(fox) == g["minhash_fox"]
     assert H.i64(dedup.simhash64(fox)) == g["simhash_fox"]

@@ -1,0 +1,10 @@
+"""Upload txt-contract port: the reference's line extraction is literally
+`[l.strip() for l in text.splitlines() if l.strip()]` (api.py:113-114), so
+the Python 'port' IS the CPython built-ins — the golden check pins the JVM
+regex implementation (Uploads.pyLines) bit-for-bit against them.
+"""
+
+
+def txt_lines(text: str) -> list[str]:
+    lines = [line.strip() for line in text.splitlines()]
+    return [l for l in lines if l]
