@@ -225,11 +225,13 @@ object SparkEntry {
         .agg(countDistinct(col("bucket")).as("n_buckets"), count(lit(1)).as("n_docs"))
     }),
 
-    // At bench scale the lazy path wins (recomputing 5k signatures is
-    // cheaper than a persist barrier); at 10^9 docs persist the signature
-    // table first — Dedup.nearDupPairsFromSigs documents the pattern.
+    // scale pattern: compute the MinHash signature table ONCE, persist it,
+    // and let the LSH candidate plan's four references share it (the cached
+    // table lives until session end — the consuming action is the driver's)
     "q19_neardup_candidates" -> ((s, dir) => {
-      Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id", minJaccard = 0.0)
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.signatures(docs, "text", "doc_id").persist()
+      Dedup.nearDupPairsFromSigs(sigs, "doc_id", minJaccard = 0.0)
         .orderBy(col("est_jaccard").desc, col("a").asc, col("b").asc)
         .limit(100)
     }),
@@ -240,7 +242,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zz9marker")).as("text"))
-      Dedup.dropNearDups(docs.unionByName(variants), "text", "doc_id", minJaccard = 0.8)
+      val corpus = docs.unionByName(variants)
+      val sigs = Dedup.signatures(corpus, "text", "doc_id").persist()
+      Dedup.dropNearDupsFromSigs(corpus, sigs, "doc_id", minJaccard = 0.8)
         .withColumn("is_variant", col("doc_id") >= 1000000L)
         .groupBy(col("is_variant"))
         .agg(count(lit(1)).as("n"))
@@ -339,7 +343,11 @@ object SparkEntry {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" zz9marker")).as("text"), col("lang"))
       val corpus = docs.unionByName(exactCopies).unionByName(nearCopies)
-      graft.ops.Curation.curate(corpus, cfg = graft.ops.Curation.Config(minJaccard = 0.8))
+      // persisted-signature path: the MinHash pass runs once, not 4×; the
+      // small cached sig table lives until session end (release handle not
+      // callable here — the consuming action happens in the driver)
+      graft.ops.Curation.curatePersisted(corpus,
+          cfg = graft.ops.Curation.Config(minJaccard = 0.8)).df
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_curated"),
           sum(when(col("doc_id") >= 2000000L, 1L).otherwise(0L)).as("n_planted_survivors"))

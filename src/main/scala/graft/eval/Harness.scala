@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Harness {
 
+  /** Per-category counts + scores; `support` is the gold-span count of the
+    * category (tp + fn) — seqeval's support column
+    * (run_benchmarking.py:502 prints it per report row).
+    */
   final case class TypeScores(
       category: String, tp: Long, fp: Long, fn: Long,
-      precision: Double, recall: Double, f1: Double)
+      precision: Double, recall: Double, f1: Double) {
+    def support: Long = tp + fn
+  }
 
   private val Key = Seq("docId", "start", "end", "category")
 
@@ -82,21 +88,39 @@ object Harness {
       perType.map(_.f1).sum / n)
   }
 
-  /** Score report as a DataFrame (the reference's per-entity table + the
-    * classification report's micro/macro average rows,
-    * run_benchmarking.py:431-503) — doubles rounded for display/compare.
+  /** Support-weighted mean of per-type precision/recall/f1 — the seqeval
+    * classification report's `weighted avg` row (the third average
+    * run_benchmarking.py:455 iterates; weight = per-class gold count).
+    * Zero total support → all zeros, like seqeval's zero_division=0.
+    */
+  def weightedAvg(perType: Seq[TypeScores]): TypeScores = {
+    val w = perType.map(_.support.toDouble)
+    val tot = w.sum
+    def avg(f: TypeScores => Double): Double =
+      if (tot == 0) 0.0 else perType.zip(w).map { case (t, wi) => f(t) * wi }.sum / tot
+    TypeScores("weighted_avg",
+      perType.map(_.tp).sum, perType.map(_.fp).sum, perType.map(_.fn).sum,
+      avg(_.precision), avg(_.recall), avg(_.f1))
+  }
+
+  /** Score report as a DataFrame — the reference's full classification
+    * report: per-entity rows then micro / macro / weighted average rows,
+    * each with a `support` column (run_benchmarking.py:431-503; the avg
+    * rows carry the total support, seqeval's convention). Doubles rounded
+    * for display/compare.
     */
   def report(spark: SparkSession, pred: DataFrame, gold: DataFrame): DataFrame = {
     import spark.implicits._
     val (perType, micro) = score(pred, gold)
-    val macroRow = macroAvg(perType)
     val rows = perType :+
       TypeScores("micro_avg", micro.tp, micro.fp, micro.fn,
-        micro.precision, micro.recall, micro.f1) :+ macroRow
+        micro.precision, micro.recall, micro.f1) :+
+      macroAvg(perType) :+ weightedAvg(perType)
     rows.map(t => (t.category, t.tp, t.fp, t.fn,
       math.rint(t.precision * 10000) / 10000,
       math.rint(t.recall * 10000) / 10000,
-      math.rint(t.f1 * 10000) / 10000))
-      .toDF("category", "tp", "fp", "fn", "precision", "recall", "f1")
+      math.rint(t.f1 * 10000) / 10000,
+      t.support))
+      .toDF("category", "tp", "fp", "fn", "precision", "recall", "f1", "support")
   }
 }

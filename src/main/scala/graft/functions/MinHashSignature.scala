@@ -42,12 +42,21 @@ case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
 
 object MinHashSignatureExpr {
 
+  /** Diagnostics: total `compute` invocations in this JVM — lets specs and
+    * benches MEASURE signature recompute across plan references (the
+    * LongAdder increment is noise next to the shingle loop). Per-executor
+    * on a real cluster; global under local[*].
+    */
+  val invocations = new java.util.concurrent.atomic.LongAdder
+
   /** Static so generated code calls it directly; returns UnsafeArrayData
     * (primitive long layout, zero boxing).
     */
-  def compute(s: UTF8String): ArrayData =
+  def compute(s: UTF8String): ArrayData = {
+    invocations.increment()
     UnsafeArrayData.fromPrimitiveArray(
       graft.ops.Dedup.minhashSignature(if (s == null) "" else s.toString))
+  }
 
   /** Column helper (Spark 4 classic Column↔Expression bridge). */
   def minhash_signature(c: Column): Column =

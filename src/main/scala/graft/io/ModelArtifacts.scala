@@ -96,4 +96,42 @@ object ModelArtifacts {
     */
   def broadcastMapping(spark: SparkSession, dir: String) =
     spark.sparkContext.broadcast(loadLabelMapping(spark, dir))
+
+  // ------------------------------------------------------------------
+  // IVF ANN index (coarse-quantizer centroids)
+  // ------------------------------------------------------------------
+  /** Persist k-means centroids so an IVF index is trained ONCE and serves
+    * many query batches (the index-build/serve split every production ANN
+    * deployment needs — retraining per query batch re-scans the corpus
+    * sample every time). Doubles are written in full round-trip precision
+    * (`%.17g` equivalent via toString), so load(save(x)) == x bitwise.
+    */
+  def saveCentroids(spark: SparkSession, dir: String, centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "no centroids to save")
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString(
+      s"""{"dim":${centroids.head.length},"nCentroids":${centroids.length},"centroids":[""",
+      ",", "]}")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, "ivf_centroids.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, "ivf_centroids.json")
+    if (!f.exists(p))
+      throw graft.errors.ModelNotFoundError(p.toString)
+    val status = f.getFileStatus(p)
+    val in = f.open(p)
+    val bytes = new Array[Byte](status.getLen.toInt)
+    try in.readFully(bytes) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, StandardCharsets.UTF_8))
+    val cents = node.get("centroids")
+    Array.tabulate(cents.size()) { c =>
+      val row = cents.get(c)
+      Array.tabulate(row.size())(row.get(_).asDouble())
+    }
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end training-corpus curation — the canonical composition of the
   * verified operators, in the order a production pipeline runs them:
@@ -13,8 +14,16 @@ import org.apache.spark.sql.functions._
   *      threshold, keep smallest id);
   *   3. quality gate (alnum ratio + token count bounds from TextOps).
   *
-  * Every stage is the already-specced operator; this is one lazy plan —
-  * no action, no persist — so Catalyst sees the whole chain.
+  * Signature reuse is the one scale-critical composition decision: the LSH
+  * candidate plan references the MinHash signature table FOUR times (two
+  * bucket branches of the self-join + two signature joins for the Jaccard
+  * estimate), and the signature pass is the dominant CPU cost. The lazy
+  * [[curate]] recomputes it per reference — measured cheaper below ~10⁵
+  * docs where a persist barrier costs more than 3 recomputes of a tiny
+  * table, and ~3× slower at ≥10⁶ docs (see BENCH.md, DedupScaleBench).
+  * [[curatePersisted]] persists signatures so the pass runs ONCE, returning
+  * a release handle; [[curateFromSigs]] gives full caller control (e.g.
+  * signatures already materialised as a table).
   */
 object Curation {
 
@@ -26,12 +35,46 @@ object Curation {
 
   val Default: Config = Config()
 
-  def curate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+  /** Curated corpus plus a handle releasing the internally-persisted
+    * signature table — call `releaseSignatures()` after the consuming
+    * action(s) finish (the result DataFrame stays valid; subsequent actions
+    * just recompute signatures lazily).
+    */
+  final case class Curated(df: DataFrame, releaseSignatures: () => Unit)
+
+  /** Quality gate + near-dup removal over an ALREADY exact-deduped corpus
+    * and its signature table. `sigs` must be `Dedup.signatures(exact, …)`
+    * (persisted or written out by the caller).
+    */
+  def curateFromSigs(exact: DataFrame, sigs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Default): DataFrame = {
-    val exact = Dedup.dropExactDups(docs, textCol, idCol)
-    val nearDeduped = Dedup.dropNearDups(exact, textCol, idCol, cfg.minJaccard)
+    val nearDeduped = Dedup.dropNearDupsFromSigs(exact, sigs, idCol, cfg.minJaccard)
     nearDeduped
       .filter(TextOps.alnumRatio(col(textCol)) >= cfg.minAlnumRatio &&
         TextOps.tokenCount(col(textCol)).between(cfg.minTokens, cfg.maxTokens))
+  }
+
+  /** Scale path: exact dedup, then persist the MinHash signatures of the
+    * survivors so the near-dup stage's four plan references share ONE
+    * signature pass. The caller releases the cache via the returned handle.
+    */
+  def curatePersisted(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", cfg: Config = Default,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Curated = {
+    val exact = Dedup.dropExactDups(docs, textCol, idCol)
+    val sigs = Dedup.signatures(exact, textCol, idCol).persist(storage)
+    Curated(curateFromSigs(exact, sigs, textCol, idCol, cfg),
+      () => { sigs.unpersist(); () })
+  }
+
+  /** Small-scale convenience: one fully lazy plan, no persist — Catalyst
+    * sees the whole chain but recomputes signatures per plan reference.
+    * Prefer [[curatePersisted]] beyond ~10⁵ documents.
+    */
+  def curate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      cfg: Config = Default): DataFrame = {
+    val exact = Dedup.dropExactDups(docs, textCol, idCol)
+    curateFromSigs(exact, Dedup.signatures(exact, textCol, idCol), textCol, idCol, cfg)
   }
 }

@@ -130,9 +130,16 @@ object Dedup {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft.lsh.buckets"))
-              log.warn(s"LSH bucket stats [$name]: droppedOversizedRows=${row.getAs[Long]("droppedRows")} " +
-                s"maxWidth=${row.getAs[Any]("maxWidth")}")
+            if (name.startsWith("graft.lsh.buckets")) {
+              // sum/max over ZERO observed rows is null — read null-safely or
+              // the listener NPEs (silently: Spark swallows listener errors)
+              // exactly when diagnosing an empty/filtered input
+              val dropped = Option(row.getAs[java.lang.Long]("droppedRows"))
+                .map(_.longValue).getOrElse(0L)
+              val maxW = Option(row.getAs[java.lang.Long]("maxWidth"))
+                .map(_.longValue).getOrElse(0L)
+              log.warn(s"LSH bucket stats [$name]: droppedOversizedRows=$dropped maxWidth=$maxW")
+            }
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
@@ -205,63 +212,113 @@ object Dedup {
   }
 
   /** Greedy near-dup removal: drop every document that shares an LSH
-    * candidate pair (est_jaccard ≥ minJaccard) with a SMALLER id — one
-    * representative survives per pairwise group (single-pass policy; no
-    * transitive closure, the standard web-dedup compromise: a chain
-    * a~b~c with a≁c keeps a and may keep c).
+    * candidate pair (est_jaccard ≥ minJaccard) with a SMALLER id. NOTE the
+    * exact single-pass policy: a doc is dropped whenever ANY smaller-id
+    * near-dup exists, even if that smaller doc is itself dropped — so a
+    * chain a~b~c (a≁c) collapses to just `a` (b via a~b, c via b~c). Callers
+    * needing one-survivor-per-connected-component semantics with the
+    * component representative kept should use [[nearDupClusters]].
+    *
+    * Convenience form — recomputes signatures inside the plan (fine at small
+    * scale; at 10⁹ docs persist the signature table and call
+    * [[dropNearDupsFromSigs]] so the dominant CPU cost runs ONCE).
     */
   def dropNearDups(df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double = 0.9): DataFrame = {
-    val drop = nearDupPairs(df, textCol, idCol, minJaccard)
+      minJaccard: Double = 0.9): DataFrame =
+    dropNearDupsFromSigs(df, signatures(df, textCol, idCol), idCol, minJaccard)
+
+  /** Greedy near-dup removal from a (persisted) signature table — the
+    * scale path: the signature pass is referenced four times by the LSH
+    * candidate plan, so computing it once and persisting is the difference
+    * between 1× and ~4× the dominant cost at corpus scale.
+    */
+  def dropNearDupsFromSigs(df: DataFrame, sigs: DataFrame, idCol: String,
+      minJaccard: Double = 0.9,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
+    val drop = nearDupPairsFromSigs(sigs, idCol, minJaccard, maxBucketWidth)
       .select(col("b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Transitive near-duplicate clusters: connected components of the
-    * candidate-pair graph via iterative min-label propagation — the policy
-    * large dedup pipelines use when greedy pairwise dropping isn't enough
-    * (a chain a~b~c with a≁c must still collapse to ONE representative).
+    * candidate-pair graph — the policy large dedup pipelines use when greedy
+    * pairwise dropping isn't enough (a chain a~b~c with a≁c must still
+    * collapse to ONE representative).
     *
-    * Shape: each round is one equi-join (labels × bidirectional edges) +
-    * one min-aggregation; rounds = O(log component diameter), and near-dup
-    * components are short chains, so `maxIter` bounds any practical corpus.
-    * Each round persists its label table and unpersists the previous one
-    * (iterative algorithms must cut lineage or the plan grows
-    * exponentially); convergence is detected with a per-round changed-count
-    * and the loop exits early.
+    * Internally persists the signature table around the (eager) edge
+    * materialisation so the MinHash pass runs once, then releases it.
+    * See [[nearDupClustersFromSigs]] for the algorithm and options.
+    */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.9, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sigs = signatures(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edges are checkpointed EAGERLY inside, so the signature cache can be
+    // released before returning — nothing lazy still references it
+    try nearDupClustersFromSigs(df, sigs, idCol, minJaccard, maxIter, checkpointDir)
+    finally sigs.unpersist()
+  }
+
+  /** Connected components from a (persisted) signature table, via min-label
+    * propagation with POINTER DOUBLING: each round every node adopts the
+    * smallest label among itself and its neighbours (one equi-join + one
+    * min-aggregation), then labels shortcut through their own label's label
+    * (`rep := label(rep)`, one more equi-join) — the label-jumping step is
+    * what makes rounds O(log diameter); plain neighbour-min alone needs
+    * O(diameter) rounds and a 12-doc chain would exceed maxIter=10.
+    *
+    * Every round cuts lineage (iterative plans otherwise double in size each
+    * round — measured 2.6 s → 21 s by round 6 without the cut):
+    *  - `checkpointDir = None` → `localCheckpoint` (executor-local blocks;
+    *    fastest, but a lost executor kills the job — the right default for
+    *    single-node / interactive use);
+    *  - `checkpointDir = Some(dir)` → reliable `checkpoint()` to that
+    *    directory (HDFS/object storage on a cluster): survives executor
+    *    loss, the right mode for 10⁹-doc production runs.
+    * Convergence is detected with a per-round changed-count; if maxIter is
+    * hit first the labels may still be coarser than the true components —
+    * logged as a WARNING with the residual changed-count.
     *
     * Returns (id, rep): rep = min id of the component (singletons included).
     */
-  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double = 0.9, maxIter: Int = 10): DataFrame = {
-    val pairs = nearDupPairs(df, textCol, idCol, minJaccard).select(col("a"), col("b"))
-    // localCheckpoint, not persist: an iterative plan DOUBLES in size every
-    // round, and even with caches the analyzer re-walks the whole history —
-    // measured: round times grew 2.6 s → 21 s by round 6, then the "cached"
-    // result recomputed anyway. Checkpointing truncates the lineage to a
-    // LogicalRDD so every round's plan is one join + one aggregate,
-    // constant-size. (Orphaned checkpoint RDDs are freed by the
-    // ContextCleaner once unreferenced; a cluster deployment would use
-    // reliable checkpoints to object storage for executor-loss tolerance.)
-    val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = df.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint()
+  def nearDupClustersFromSigs(df: DataFrame, sigs: DataFrame, idCol: String,
+      minJaccard: Double = 0.9, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
+    val pairs = nearDupPairsFromSigs(sigs, idCol, minJaccard).select(col("a"), col("b"))
+    val edges = cut(pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))))
+    var labels = cut(df.select(col(idCol).as("id"), col(idCol).as("rep")))
     var it = 0
-    var converged = false
-    while (it < maxIter && !converged) {
-      // each node adopts the smallest rep among itself and its neighbours
+    var lastChanged = -1L
+    while (it < maxIter && lastChanged != 0) {
+      // 1. each node adopts the smallest rep among itself and its neighbours
       val viaNeighbour = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .select(col("a").as("id"), col("rep"))
-      val next = labels.unionByName(viaNeighbour)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
+      // cut before the self-join below: hooked is referenced twice and an
+      // un-materialised reference would recompute the join+agg per side
+      val hooked = cut(labels.unionByName(viaNeighbour)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep")))
+      // 2. pointer doubling: rep := rep's own rep (labels only ever
+      // decrease, and every rep value is an id in the table, so the inner
+      // join is total and monotone)
+      val next = cut(hooked
+        .join(hooked.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"))
+        .select(col("id"), col("rep2").as("rep")))
+      lastChanged = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
         .filter(col("rep") =!= col("prev")).count()
       labels = next
-      converged = changed == 0
       it += 1
     }
+    if (lastChanged != 0)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
+        s"nearDupClusters did NOT converge in $maxIter rounds " +
+          s"($lastChanged labels still changing) — components wider than " +
+          s"2^$maxIter hops are split; raise maxIter")
     labels
   }
 

@@ -177,20 +177,31 @@ object Similarity {
       .limit(n)
       .collect().map(_.getSeq[Float](0).toArray)
 
-  /** IVF ANN: corpus rows live in exactly ONE centroid bucket (one map
-    * pass); each query probes its `nProbe` nearest buckets; exact cosine
-    * ranks within the probed cells. At 10^9+ vectors this turns the scan
-    * into `corpusSize · nProbe / k` with a broadcast-joined probe table.
+  /** Index build: deterministic k-means centroids from a hash-spread
+    * corpus sample. Train ONCE, persist via
+    * `graft.io.ModelArtifacts.saveCentroids`, and serve many query batches
+    * with [[ivfTopKWithCentroids]] — retraining per call re-scans the
+    * sample and re-runs Lloyd every time (the round-2 waste).
     */
-  def ivfTopK(
+  def trainIvfCentroids(corpus: DataFrame, nCentroids: Int = 16,
+      sampleSize: Int = 2000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] =
+    trainCentroids(hashSpreadSample(corpus, sampleSize, idCol, vecCol), nCentroids)
+
+  /** IVF ANN serve path: corpus rows live in exactly ONE centroid bucket
+    * (one map pass); each query probes its `nProbe` nearest buckets; exact
+    * cosine ranks within the probed cells. At 10^9+ vectors this turns the
+    * scan into `corpusSize · nProbe / k` with a broadcast-joined probe
+    * table. `centroids` come from [[trainIvfCentroids]] (fresh or loaded
+    * via `ModelArtifacts.loadCentroids`).
+    */
+  def ivfTopKWithCentroids(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 2000,
+      centroids: Array[Array[Double]], nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "query_id", qVecCol: String = "query_vec"
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    val sample = hashSpreadSample(corpus, sampleSize, idCol, vecCol)
-    val bc = spark.sparkContext.broadcast(trainCentroids(sample, nCentroids))
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) =>
       if (v == null) -1 else nearestCentroid(v.toArray, bc.value)
     }
@@ -208,6 +219,17 @@ object Similarity {
       .select(col(qIdCol), col(idCol).as("neighbor_id"), col("rank"),
         round(col("score"), 4).as("score"))
   }
+
+  /** One-shot convenience: train + serve in a single call. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 2000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "query_id", qVecCol: String = "query_vec"
+  ): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, k,
+      trainIvfCentroids(corpus, nCentroids, sampleSize, idCol, vecCol),
+      nProbe, idCol, vecCol, qIdCol, qVecCol)
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ minCosine) —
     * dedup by embedding: candidates from sign-LSH bucket collisions in any

@@ -38,10 +38,10 @@ object StreamingStats {
         col("files"), col("kept"), col("withPii"), col("errors"))
 
   /** Streaming exact dedup: keep the FIRST row seen per key across micro-
-    * batches. Custom state (one Boolean per key) via flatMapGroupsWithState
-    * — at 10^9 keys pair with a state-store TTL/timeout policy; kept
-    * timeout-free here because the key space (content sha) of a bounded
-    * ingest window is what production would scope the state to.
+    * batches. Custom state (one Boolean per key) via flatMapGroupsWithState.
+    * UNBOUNDED state — one entry per distinct key forever: only for key
+    * spaces that are themselves bounded (a capped ingest window). At 10^9
+    * keys use [[firstSeenWithTtl]], which evicts via event-time timeouts.
     */
   def firstSeen(df: DataFrame, keyCol: String): DataFrame = {
     val schema = df.schema
@@ -57,5 +57,50 @@ object StreamingStats {
             rows.take(1)
           }
       }(Encoders.scalaBoolean, rowEnc)
+  }
+
+  /** First-seen dedup with BOUNDED state: each key's memory is evicted
+    * `ttlMs` after the latest event-time sighting (sliding TTL, refreshed
+    * on every arrival), enforced with event-time timeouts against the
+    * stream's watermark — so state size is O(keys active within one TTL
+    * window), not O(all keys ever).
+    *
+    * Policy on expiry: a key that re-arrives after its state was evicted
+    * (its expiry timestamp is behind the current watermark — whether or not
+    * the timeout callback has fired yet) counts as FIRST-SEEN AGAIN and is
+    * re-emitted. That is the standard dedup-window contract: "suppress
+    * repeats within ttl", not "suppress forever".
+    *
+    * `tsCol` must be a TimestampType event-time column; `watermarkDelay` is
+    * the allowed lateness (late rows beyond it are dropped by Spark before
+    * reaching the state function).
+    */
+  def firstSeenWithTtl(df: DataFrame, keyCol: String, tsCol: String,
+      ttlMs: Long, watermarkDelay: String = "0 seconds"): DataFrame = {
+    val schema = df.schema
+    val kIdx = schema.fieldIndex(keyCol)
+    val tIdx = schema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(schema)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupByKey((r: Row) => r.getString(kIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        // state = the key's expiry timestamp (epoch ms)
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val batch = rows.toArray
+            val maxTs = batch.iterator.map(_.getTimestamp(tIdx).getTime).max
+            // expired-but-not-yet-collected state counts as absent: the
+            // timeout callback may not have fired when new data arrives in
+            // the same batch that passes the watermark
+            val isNew = !state.exists || state.get <= wm
+            val expiry = math.max(maxTs + ttlMs, wm + 1) // timeout must be > watermark
+            state.update(expiry)
+            state.setTimeoutTimestamp(expiry)
+            if (isNew) batch.iterator.take(1) else Iterator.empty
+          }
+      }(Encoders.scalaLong, rowEnc)
   }
 }

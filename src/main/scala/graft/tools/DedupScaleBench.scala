@@ -1,0 +1,122 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashSignatureExpr
+import graft.ops.{Curation, Dedup}
+import graft.util.Hashing
+
+/** Scale-stress for the near-dup surface (the round-2 gap: everything was
+  * measured at ≤15k docs while the flagship pipeline had 20M-file runs).
+  * Generates a deterministic ≥1M-doc corpus with planted exact + near
+  * duplicates, then measures — exclusively, one action at a time —
+  *
+  *   1. `Curation.curate` (lazy, signatures recomputed per plan reference)
+  *   2. `Curation.curatePersisted` (ONE signature pass — the scale path)
+  *   3. `Dedup.nearDupClustersFromSigs` (connected components at 1M+)
+  *
+  * reporting wall seconds, docs/s, MEASURED MinHash invocations (the
+  * recompute multiplier, via MinHashSignatureExpr.invocations) and shuffle
+  * write bytes per job. One JSON line per measurement.
+  *
+  * Usage: SPARK_DRIVER_MEM=32g sbt -batch "runMain graft.tools.DedupScaleBench [nBase]"
+  * (run EXCLUSIVELY — concurrent sbt corrupts timings, CLAUDE.md.)
+  */
+object DedupScaleBench {
+
+  /** Deterministic doc text: pure function of (id), partition-independent.
+    * `minWords` sets the size class: 40 ≈ 300-char web snippets; 200 ≈
+    * 1.5 KB source files (the reference corpus's shape) — signature cost
+    * scales with length, shuffle cost doesn't, so the lazy-vs-persisted
+    * crossover moves with this knob.
+    */
+  private def textUdf(minWords: Int) = udf { (id: Long) =>
+    val r = new java.util.SplittableRandom(Hashing.splitmix64(id))
+    val len = minWords + r.nextInt(minWords)
+    val sb = new StringBuilder(len * 6)
+    var i = 0
+    while (i < len) { sb.append('w').append(r.nextInt(5000)).append(' '); i += 1 }
+    sb.result().trim
+  }
+
+  /** Base docs [0,n); exact copies of every 20th (id+2n, byte-identical);
+    * near copies of every 10th (id+n, one marker token appended — est
+    * Jaccard ≈ 0.95 at these lengths). Written once; measurements read the
+    * stable parquet so generation is never inside a measured plan.
+    */
+  private def genCorpus(spark: SparkSession, n: Long, minWords: Int, path: String): Unit = {
+    if (new java.io.File(path).exists()) return
+    val base = spark.range(0, n, 1, 64)
+      .select(col("id").as("doc_id"), textUdf(minWords)(col("id")).as("text"))
+    val exact = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2 * n).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + n).as("doc_id"),
+        concat(col("text"), lit(" zz9marker")).as("text"))
+    base.unionByName(exact).unionByName(near)
+      .repartition(64).write.mode("overwrite").parquet(path)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val minWords = if (args.length > 1) args(1).toInt else 40
+    val path = s"/tmp/graft-dedup-scale-$n-w$minWords"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-dedup-scale")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleWrite = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    genCorpus(spark, n, minWords, path)
+    val corpus = spark.read.parquet(path)
+    val total = corpus.count() // warms page cache + pins the cardinality
+    println(s"corpus: $total docs at $path")
+
+    val cfg = Curation.Config(minJaccard = 0.8)
+    def measure(op: String)(body: => Long): Unit = {
+      System.gc()
+      val calls0 = MinHashSignatureExpr.invocations.sum()
+      val sh0 = shuffleWrite.get()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus drain (metrics are async)
+      val calls = MinHashSignatureExpr.invocations.sum() - calls0
+      val shMb = (shuffleWrite.get() - sh0) / 1e6
+      println(f"""{"op":"$op","nDocs":$total,"sec":$sec%.2f,"docsPerSec":${(total / sec).toLong},"rows":$rows,"minhashCalls":$calls,"minhashPerDoc":${calls.toDouble / total}%.2f,"shuffleWriteMB":$shMb%.1f}""")
+    }
+
+    // 1. lazy composition: signature expression recomputed per plan reference
+    measure("curate_lazy") { Curation.curate(corpus, cfg = cfg).count() }
+
+    // 2. persisted composition: ONE signature pass, then released
+    measure("curate_persisted") {
+      val h = Curation.curatePersisted(corpus, cfg = cfg)
+      val c = h.df.count()
+      h.releaseSignatures()
+      c
+    }
+
+    // 3. transitive clustering at full size (persisted sigs inside)
+    measure("neardup_clusters") {
+      Dedup.nearDupClusters(corpus, "text", "doc_id", minJaccard = 0.8)
+        .filter(col("id") =!= col("rep")).count() // docs folded into another rep
+    }
+
+    spark.stop()
+  }
+}

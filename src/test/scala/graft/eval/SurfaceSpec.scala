@@ -208,6 +208,28 @@ class SurfaceSpec extends AnyFunSuite {
     assert(math.abs(macroRow.getAs[Double]("f1") - 0.5556) < 1e-9) // (1 + 2/3 + 0)/3, 4dp
   }
 
+  test("report weighted average + support column, hand-computed (run_benchmarking.py:455,502)") {
+    // PERSON: tp=2 fn=1 fp=0 → P=1, R=2/3, F1=0.8, support=3
+    // EMAIL:  tp=1 fn=0 fp=1 → P=1/2, R=1, F1=2/3, support=1
+    val gold = Seq((1L, 0, 5, "PERSON"), (1L, 10, 15, "PERSON"), (2L, 0, 5, "PERSON"),
+      (2L, 8, 12, "EMAIL")).toDF("docId", "start", "end", "category")
+    val pred = Seq((1L, 0, 5, "PERSON"), (1L, 10, 15, "PERSON"),
+      (2L, 8, 12, "EMAIL"), (3L, 0, 4, "EMAIL")).toDF("docId", "start", "end", "category")
+    val rep = Harness.report(spark, pred, gold).collect()
+    def row(c: String) = rep.find(_.getString(0) == c).get
+    assert(row("PERSON").getAs[Long]("support") == 3 && row("EMAIL").getAs[Long]("support") == 1)
+    val w = row("weighted_avg")
+    // weighted by support (3,1): P=(3·1+1·.5)/4, R=(3·⅔+1·1)/4, F1=(3·.8+1·⅔)/4
+    assert(w.getAs[Double]("precision") == 0.875)
+    assert(w.getAs[Double]("recall") == 0.75)
+    assert(w.getAs[Double]("f1") == 0.7667) // 0.76667 → 4dp
+    assert(w.getAs[Long]("support") == 4) // avg rows carry total support
+    assert(row("micro_avg").getAs[Long]("support") == 4)
+    assert(row("macro_avg").getAs[Long]("support") == 4)
+    // macro (unweighted) differs from weighted on this fixture
+    assert(row("macro_avg").getAs[Double]("precision") == 0.75)
+  }
+
   test("score preserves duplicate-span multiplicities (inner-join semantics)") {
     // span appears 2× in pred, 3× in gold → 6 TPs, like the previous
     // inner + anti join formulation

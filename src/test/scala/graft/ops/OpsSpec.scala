@@ -175,6 +175,57 @@ class OpsSpec extends AnyFunSuite {
     assert(reps(20L) == 20L) // singleton stays its own rep
   }
 
+  /** 5-link chain fixture: doc(repl) flips the first `repl` tokens of 40;
+    * adjacent links (4-token step) estimate ≥ 0.65, 2-step pairs < 0.65 —
+    * pinned below, so the candidate graph is a PATH, no shortcuts.
+    */
+  private def chainDocs(): Seq[(Long, String)] = {
+    def doc(repl: Int) = (1 to 40).map(i =>
+      if (i <= repl) s"changed$i" else s"tok$i").mkString(" ")
+    def est(x: String, y: String) = {
+      val (sx, sy) = (Dedup.minhashSignature(x), Dedup.minhashSignature(y))
+      sx.zip(sy).count { case (p, q) => p == q } / 64.0
+    }
+    val texts = Seq(doc(0), doc(4), doc(8), doc(12), doc(16))
+    // measured separation: 1-step est min 0.7656, any 2+step max 0.7188
+    texts.sliding(2).foreach { case Seq(x, y) =>
+      assert(est(x, y) >= 0.75, s"fixture drifted: link est ${est(x, y)}") }
+    for (i <- texts.indices; j <- i + 2 until texts.length)
+      assert(est(texts(i), texts(j)) < 0.75,
+        s"fixture drifted: ${j - i}-step est ${est(texts(i), texts(j))}")
+    // min id (1) sits at the chain END: 4 hops to the far end — plain
+    // neighbour-min propagation needs 4 rounds, pointer doubling 2
+    Seq(1L, 3L, 5L, 7L, 9L).zip(texts)
+  }
+
+  test("nearDupClusters: pointer doubling converges a 4-hop chain within 3 rounds") {
+    val docs = (chainDocs() :+ (20L ->
+      "a completely unrelated document with different words entirely")).toDF("doc_id", "text")
+    // maxIter=3 < diameter 4: plain O(diameter) propagation CANNOT finish;
+    // the label-jumping step must
+    val reps = Dedup.nearDupClusters(docs, "text", "doc_id", minJaccard = 0.75, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 3L, 5L, 7L, 9L).forall(reps(_) == 1L), s"chain not collapsed: $reps")
+    assert(reps(20L) == 20L)
+  }
+
+  test("nearDupClusters: reliable-checkpoint mode yields identical clusters") {
+    val docs = chainDocs().toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val local = Dedup.nearDupClusters(docs, "text", "doc_id", minJaccard = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reliable = Dedup.nearDupClusters(docs, "text", "doc_id", minJaccard = 0.75,
+        checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == reliable)
+    // the reliable mode actually wrote checkpoint data to the chosen dir
+    def anyFile(d: java.io.File): Boolean = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.exists(f => f.isFile && f.length() > 0) || kids.exists(anyFile)
+    }
+    assert(anyFile(new java.io.File(dir)), "no reliable checkpoint files written")
+  }
+
   test("curation composite: exact copy, near copy, and low-quality rows all removed") {
     val base = (1 to 30).map(i => s"token$i").mkString(" ")
     val docs = Seq(
@@ -189,6 +240,48 @@ class OpsSpec extends AnyFunSuite {
         cfg = graft.ops.Curation.Config(minJaccard = 0.8))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 6L), s"kept $kept")
+  }
+
+  test("curatePersisted: signature pass runs ONCE (measured), same result as lazy curate") {
+    import graft.functions.MinHashSignatureExpr
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val cfg = graft.ops.Curation.Config(minJaccard = 0.8)
+
+    val lazyBefore = MinHashSignatureExpr.invocations.sum()
+    val lazyRes = Curation.curate(docs, cfg = cfg).select("doc_id").as[Long].collect().toSet
+    val lazyCalls = MinHashSignatureExpr.invocations.sum() - lazyBefore
+
+    val pBefore = MinHashSignatureExpr.invocations.sum()
+    val handle = Curation.curatePersisted(docs, cfg = cfg)
+    val plan = handle.df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), s"signatures not cached:\n$plan")
+    val persistedRes = handle.df.select("doc_id").as[Long].collect().toSet
+    val persistedCalls = MinHashSignatureExpr.invocations.sum() - pBefore
+
+    assert(persistedRes == lazyRes)
+    // persisted: ONE pass over the exact-deduped corpus; lazy: one per
+    // surviving plan reference (≥2 even after exchange reuse)
+    assert(persistedCalls <= n + 16, s"persisted path recomputed: $persistedCalls calls for $n docs")
+    assert(lazyCalls >= 2 * persistedCalls,
+      s"lazy=$lazyCalls persisted=$persistedCalls — cache bought nothing")
+    // release: result stays valid, just recomputes lazily afterwards
+    handle.releaseSignatures()
+    assert(handle.df.select("doc_id").as[Long].collect().toSet == lazyRes)
+  }
+
+  test("dropNearDupsFromSigs equals the convenience form") {
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val conv = Dedup.dropNearDups(docs, "text", "doc_id", minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val sigs = Dedup.signatures(docs, "text", "doc_id").persist()
+    try {
+      val threaded = Dedup.dropNearDupsFromSigs(docs, sigs, "doc_id", minJaccard = 0.8)
+        .select("doc_id").as[Long].collect().toSet
+      assert(threaded == conv)
+    } finally sigs.unpersist()
   }
 
   // ------------------------------------------------------------------
@@ -289,6 +382,31 @@ class OpsSpec extends AnyFunSuite {
     val c2 = Similarity.trainCentroids(sample, 8)
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
     assert(c1.length == 8)
+  }
+
+  test("IVF index persist/load: bitwise centroid round-trip, identical top-k from loaded index") {
+    import graft.io.ModelArtifacts
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cents = Similarity.trainIvfCentroids(emb, nCentroids = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    ModelArtifacts.saveCentroids(spark, dir, cents)
+    val loaded = ModelArtifacts.loadCentroids(spark, dir)
+    assert(loaded.length == cents.length)
+    // bitwise: toString round-trip must lose nothing
+    cents.zip(loaded).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)) }
+    }
+    def run(c: Array[Array[Double]]) =
+      Similarity.ivfTopKWithCentroids(emb, queries, k = 5, c, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(run(loaded) == run(cents)) // a loaded index serves identically
+    // missing index file → the typed model error, not an IO stack trace
+    val empty = java.nio.file.Files.createTempDirectory("graft-ivf-none").toString
+    intercept[graft.errors.ModelNotFoundError] { ModelArtifacts.loadCentroids(spark, empty) }
   }
 
   test("LSH top-k on uniform-random embeddings still returns ranked candidates") {

@@ -81,4 +81,36 @@ class StreamingStatsSpec extends AnyFunSuite {
     assert(m("ccc") == 5)
     assert(Set(1, 3).contains(m("aaa")) && m("bbb") == 2)
   }
+
+  test("firstSeenWithTtl: state evicted after TTL; re-arrival counts as first-seen again") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Int, Timestamp)]
+    val df = in.toDF().toDF("sha", "payload", "ts")
+    // sliding 1-minute dedup window, zero allowed lateness
+    val q = StreamingStats.firstSeenWithTtl(df, "sha", "ts", ttlMs = 60000L)
+      .writeStream.format("memory").queryName("firstseen_ttl")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: A twice (one emit), B once
+    in.addData(("aaa", 1, ts("10:00:00")), ("bbb", 2, ts("10:00:10")),
+      ("aaa", 3, ts("10:00:20")))
+    q.processAllAvailable() // watermark → 10:00:20
+    // batch 2: A again within TTL (suppressed, expiry refreshed), C new
+    in.addData(("aaa", 4, ts("10:00:30")), ("ccc", 5, ts("10:00:40")))
+    q.processAllAvailable() // watermark → 10:00:40
+    // batch 3: jump event time 30 min — every key's expiry falls behind
+    in.addData(("ddd", 6, ts("10:30:00")))
+    q.processAllAvailable() // watermark → 10:30:00 (applies to NEXT batch)
+    // batch 4: A re-arrives AFTER its state expired → first-seen again
+    in.addData(("aaa", 7, ts("10:30:30")))
+    q.processAllAvailable()
+    q.processAllAvailable() // one more batch so timeout callbacks also run
+    q.stop()
+
+    val out = spark.table("firstseen_ttl").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val byKey = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byKey("aaa") == Seq(1, 7), s"expected expiry re-emit, got $byKey") // NOT 3 or 4
+    assert(byKey("bbb") == Seq(2) && byKey("ccc") == Seq(5) && byKey("ddd") == Seq(6))
+  }
 }

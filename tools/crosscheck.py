@@ -338,18 +338,26 @@ def q33():
         tp, fp, fn = per_cat[cat]
         p, r, f = prf(tp, fp, fn)
         per_type.append((cat, tp, fp, fn, p, r, f))
-        rows.append((cat, tp, fp, fn, rint4(p), rint4(r), rint4(f)))
+        rows.append((cat, tp, fp, fn, rint4(p), rint4(r), rint4(f), tp + fn))
     tp = sum(t[1] for t in per_type)
     fp = sum(t[2] for t in per_type)
     fn = sum(t[3] for t in per_type)
+    support = tp + fn  # total gold spans: the avg rows' support (seqeval)
     p, r, f = prf(tp, fp, fn)
-    rows.append(("micro_avg", tp, fp, fn, rint4(p), rint4(r), rint4(f)))
+    rows.append(("micro_avg", tp, fp, fn, rint4(p), rint4(r), rint4(f), support))
     n = max(1, len(per_type))
     rows.append(("macro_avg", tp, fp, fn,
                  rint4(sum(t[4] for t in per_type) / n),
                  rint4(sum(t[5] for t in per_type) / n),
-                 rint4(sum(t[6] for t in per_type) / n)))
-    return ["category", "tp", "fp", "fn", "precision", "recall", "f1"], rows
+                 rint4(sum(t[6] for t in per_type) / n), support))
+    # weighted avg: support-weighted per-type means (run_benchmarking.py:455)
+    ws = [t[1] + t[3] for t in per_type]
+    tot = sum(ws)
+    def wavg(idx):
+        return 0.0 if tot == 0 else sum(t[idx] * w for t, w in zip(per_type, ws)) / tot
+    rows.append(("weighted_avg", tp, fp, fn,
+                 rint4(wavg(4)), rint4(wavg(5)), rint4(wavg(6)), support))
+    return ["category", "tp", "fp", "fn", "precision", "recall", "f1", "support"], rows
 
 
 def q34():
