@@ -225,13 +225,13 @@ object SparkEntry {
         .agg(countDistinct(col("bucket")).as("n_buckets"), count(lit(1)).as("n_docs"))
     }),
 
-    // scale pattern: compute the MinHash signature table ONCE, persist it,
-    // and let the LSH candidate plan's four references share it (the cached
-    // table lives until session end — the consuming action is the driver's)
+    // Lazy path ON PURPOSE at this scale: DedupScaleBench measured the
+    // persisted-signature path as a wash/loss below ~10⁵ short docs (the
+    // barrier costs what the saved pass saves — BENCH.md round 3); the
+    // scale compositions are Dedup.*FromSigs / Curation.curatePersisted,
+    // specced and measured at 1.15M docs.
     "q19_neardup_candidates" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sigs = Dedup.signatures(docs, "text", "doc_id").persist()
-      Dedup.nearDupPairsFromSigs(sigs, "doc_id", minJaccard = 0.0)
+      Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id", minJaccard = 0.0)
         .orderBy(col("est_jaccard").desc, col("a").asc, col("b").asc)
         .limit(100)
     }),
@@ -242,9 +242,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zz9marker")).as("text"))
-      val corpus = docs.unionByName(variants)
-      val sigs = Dedup.signatures(corpus, "text", "doc_id").persist()
-      Dedup.dropNearDupsFromSigs(corpus, sigs, "doc_id", minJaccard = 0.8)
+      Dedup.dropNearDups(docs.unionByName(variants), "text", "doc_id", minJaccard = 0.8)
         .withColumn("is_variant", col("doc_id") >= 1000000L)
         .groupBy(col("is_variant"))
         .agg(count(lit(1)).as("n"))

@@ -55,9 +55,11 @@ object Detect {
     * surface as typed `graft.errors.GraftError`s — the reference's 4xx
     * contract (api.py:473-479 routes exactly these classes to 400).
     */
-  def detectUpload(spark: SparkSession, path: String): DataFrame = {
+  def detectUpload(spark: SparkSession, path: String,
+      columns: Option[Seq[String]] = None): DataFrame = {
     import graft.ingest.Uploads
     Uploads.validateUpload(path)
+    val name = new java.io.File(path).getName
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
     ext match {
       case "txt" =>
@@ -71,22 +73,52 @@ object Detect {
             col("r._2").as("redactedText"), col("r._3").as("piiTypes"),
             col("r._4").as("error"))
       case "csv" =>
-        try Uploads.scrubGrid(Uploads.readCsv(spark, path))
+        try Uploads.scrubGrid(Uploads.readCsv(spark, path), columns, name, "csv")
         catch {
           case e: GraftError => throw e
           case e: Exception => // parse failure → typed 4xx, never a 500 (api.py:131-133)
-            throw CSVParsingError(new java.io.File(path).getName, String.valueOf(e.getMessage))
+            throw CSVParsingError(name, String.valueOf(e.getMessage))
         }
       case "xlsx" =>
-        try Uploads.scrubGrid(Uploads.readXlsx(spark, path))
+        try Uploads.scrubGrid(Uploads.readXlsx(spark, path), columns, name, "excel")
         catch {
           case e: GraftError => throw e
           case e: Exception => // corrupt zip/XML → typed 4xx, never a 500 (api.py:148-150)
-            throw ExcelParsingError(new java.io.File(path).getName, String.valueOf(e.getMessage))
+            throw ExcelParsingError(name, String.valueOf(e.getMessage))
         }
       case other =>
-        throw UnsupportedFileTypeError(new java.io.File(path).getName, s".$other")
+        throw UnsupportedFileTypeError(name, s".$other")
     }
+  }
+
+  /** `/info` payload analogue (api.py:232-236): service/model metadata,
+    * field names mirroring the reference's JSON keys. Uninitialised model
+    * dir → ModelNotFoundError, the 503 analogue (api.py:226).
+    */
+  final case class ServiceInfo(
+      model_path: String,
+      device: String,
+      confidence_threshold: Double,
+      supported_pii_types: Seq[String],
+      num_labels: Int,
+      batch_size: Int)
+
+  /** This engine's detector is the regex scrubber: confidence is always
+    * 1.0 and the type set is the north-rule four.
+    */
+  val SupportedPiiTypes: Seq[String] = Seq("EMAIL", "IP_ADDRESS", "PHONE", "SECRET")
+
+  def info(spark: SparkSession, modelDir: String): ServiceInfo = {
+    val m = graft.io.ModelArtifacts.loadLabelMapping(spark, modelDir) // validates like api.py:226
+    ServiceInfo(modelDir, "cpu", 1.0, SupportedPiiTypes, m.numLabels, MaxBatchTexts)
+  }
+
+  /** `/health` analogue (api.py:214-219): (status, model_loaded). */
+  def health(spark: SparkSession, modelDir: String): (String, Boolean) = {
+    val loaded =
+      try { graft.io.ModelArtifacts.validateModelDir(spark, modelDir); true }
+      catch { case _: GraftError => false }
+    ("healthy", loaded)
   }
 
   /** `get_pii_statistics` over a detect-batch result

@@ -278,25 +278,50 @@ object Uploads {
     } finally zip.close()
   }
 
-  /** Scrub every string cell in place; non-string columns pass through.
-    * Output schema == input schema (the reference's redacted-grid rebuild,
-    * api.py:517-520), plus one `_pii_types` array column aggregating the
-    * distinct types found anywhere in the row.
+  /** The reference's `_resolve_columns` (api.py:160-180): empty/None
+    * selection → all columns; any requested column absent from the grid →
+    * InvalidFieldError("columns", …) listing missing + available, python
+    * list rendering and all.
     */
-  def scrubGrid(df: DataFrame): DataFrame = {
+  def resolveColumns(df: DataFrame, columns: Option[Seq[String]],
+      filename: String, filetype: String): Seq[String] = {
+    val all = df.columns.toSeq
+    columns.filter(_.nonEmpty) match {
+      case None => all
+      case Some(want) =>
+        val missing = want.filterNot(all.contains)
+        if (missing.nonEmpty) {
+          def pyList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+          throw InvalidFieldError("columns",
+            s"Column(s) ${pyList(missing)} not found in $filetype file '$filename'. " +
+              s"Available columns: ${pyList(all)}")
+        }
+        want
+    }
+  }
+
+  /** Scrub every SELECTED string cell in place (default: all); non-string
+    * and unselected columns pass through untouched. Output schema == input
+    * schema (the reference's redacted-grid rebuild, api.py:517-520), plus
+    * one `_pii_types` array column aggregating the distinct types found in
+    * the row's scrubbed columns.
+    */
+  def scrubGrid(df: DataFrame, columns: Option[Seq[String]] = None,
+      filename: String = "upload", filetype: String = "tabular"): DataFrame = {
+    val selected = resolveColumns(df, columns, filename, filetype).toSet
     val scrubUdf = udf { (s: String) =>
       val r = graft.scrub.Scrubber.scrub(s)
       if (r.error != null) (if (s == null) "" else s, Seq.empty[String])
       else (r.scrubbed, r.piiTypes)
     }
-    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val stringCols = df.schema.fields
+      .filter(f => f.dataType == StringType && selected.contains(f.name)).map(_.name)
     var out = df
     stringCols.foreach { c =>
       out = out.withColumn(s"__scrub_$c", scrubUdf(col(c)))
     }
-    val rebuilt = df.schema.fields.foldLeft(out) { (acc, f) =>
-      if (f.dataType == StringType) acc.withColumn(f.name, col(s"__scrub_${f.name}._1"))
-      else acc
+    val rebuilt = stringCols.foldLeft(out) { (acc, c) =>
+      acc.withColumn(c, col(s"__scrub_${c}._1"))
     }
     val typeCols = stringCols.map(c => col(s"__scrub_$c._2"))
     val withTypes =

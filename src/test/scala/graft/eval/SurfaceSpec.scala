@@ -173,6 +173,42 @@ class SurfaceSpec extends AnyFunSuite {
   // ------------------------------------------------------------------
   // Harness (A5/J2/P10)
   // ------------------------------------------------------------------
+  test("tabular scrub honors the columns selection (api.py:160-180, 425-427)") {
+    val p = Files.createTempFile("sel", ".csv")
+    Files.writeString(p,
+      "colA,colB\nalice@example.com,call 555-123-4567\nclean,also clean\n")
+    // scrub ONLY colB: colA's email must survive, _pii_types from colB alone
+    val out = Detect.detectUpload(spark, p.toString, Some(Seq("colB")))
+      .orderBy("colA").collect()
+    assert(out(0).getAs[String]("colA") == "alice@example.com")
+    assert(out(0).getAs[String]("colB") == "call [REDACTED]")
+    assert(out(0).getSeq[String](out(0).fieldIndex("_pii_types")) == Seq("PHONE"))
+    // unknown column → InvalidFieldError listing missing + available (py list style)
+    val e = intercept[graft.errors.InvalidFieldError] {
+      Detect.detectUpload(spark, p.toString, Some(Seq("colB", "nope")))
+    }
+    assert(e.getMessage == "Invalid value for field 'columns': Column(s) ['nope'] " +
+      s"not found in csv file '${p.getFileName}'. Available columns: ['colA', 'colB']")
+    // empty selection behaves like None: all columns scrubbed (api.py:169-170)
+    val all = Detect.detectUpload(spark, p.toString, Some(Seq.empty)).orderBy("colA").collect()
+    assert(all(0).getAs[String]("colA") == "[REDACTED]")
+  }
+
+  test("service info/health analogues (api.py:214-236)") {
+    import graft.ingest.Prepare
+    val dir = java.nio.file.Files.createTempDirectory("graft-info").toString
+    assert(Detect.health(spark, dir) == ("healthy", false)) // dir lacks artifacts
+    val m = Prepare.buildLabelMapping(Seq("EMAIL"), Seq.empty)
+    graft.io.ModelArtifacts.saveLabelMapping(spark, dir, m)
+    assert(Detect.health(spark, dir) == ("healthy", true))
+    val i = Detect.info(spark, dir)
+    assert(i.model_path == dir && i.device == "cpu" && i.confidence_threshold == 1.0)
+    assert(i.supported_pii_types == Seq("EMAIL", "IP_ADDRESS", "PHONE", "SECRET"))
+    assert(i.num_labels == m.numLabels && i.batch_size == 1000)
+    // uninitialised model → the 503-analogue typed error (api.py:226)
+    intercept[graft.errors.ModelNotFoundError] { Detect.info(spark, "/no/such/model") }
+  }
+
   test("per-type scores with taxonomy remap: unmapped external labels discarded") {
     val gold = Seq((1L, 0, 5, "PERSON"), (1L, 10, 15, "LOC"), (2L, 0, 3, "EMAIL"))
       .toDF("docId", "start", "end", "category")
