@@ -189,6 +189,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_groups"), min(col("keeper_id")).as("min_keeper"))
     }),
 
+    // chunk-granularity exact-substring dedup (Lee et al. 2022 tier below
+    // whole-doc dedup) — exact + SQL-expressible, so oracle-checked
+    "q37_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDupGroups(t(s, dir, "documents"), "text", "doc_id", chunkLen = 80)
+    }),
+
     "q15_quality_scores" -> ((s, dir) => {
       TextOps.withQualitySignals(t(s, dir, "documents"))
         .groupBy(col("source"))
@@ -360,6 +366,26 @@ object SparkEntry {
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // hierarchical subtotals: ROLLUP(priority, status) — grand total, per
+    // priority, per (priority, status); sums exact via the decimal helper
+    "q38_rollup_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // pivot: per-day event-type counts as columns (values pinned so the
+    // output schema is static; absent combos zero-filled like the oracle's
+    // conditional aggregation)
+    "q39_event_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
     }),
 
     "q25_running_revenue" -> ((s, dir) => {
@@ -640,6 +666,31 @@ object SparkEntry {
          CASE WHEN n_chars < 100 THEN 'short'
               WHEN n_chars > 400 THEN 'long' ELSE 'mid' END AS length_class,
          count(*) AS n
-         FROM documents GROUP BY 1, 2"""
+         FROM documents GROUP BY 1, 2""",
+
+    "q37_chunk_dedup" ->
+      """WITH chunks AS (
+           SELECT doc_id,
+                  md5(substring(text, CAST(u.k AS INT) * 80 + 1, 80)) AS chunk_hash
+           FROM documents,
+                LATERAL unnest(range(0, CAST(ceil(length(text) / 80.0) AS BIGINT))) AS u(k)
+           WHERE length(text) > 0)
+         SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occurrences, min(doc_id) AS keeper_id
+         FROM chunks GROUP BY chunk_hash HAVING count(*) > 1""",
+
+    "q38_rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+
+    "q39_event_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1"""
   )
 }

@@ -322,6 +322,35 @@ object Dedup {
     labels
   }
 
+  /** Chunk-level exact-substring duplication (the granular tier below
+    * whole-doc exact dedup — the "dedup training data at substring level"
+    * idea of Lee et al. 2022, at fixed chunk granularity): split every doc
+    * into fixed-length character chunks, md5 each, group by fingerprint.
+    * Returns one row per chunk fingerprint occurring MORE than once:
+    * (chunk_hash, n_docs, n_occurrences, keeper_id = min doc id).
+    *
+    * Scale shape: one narrow pass emits ceil(len/chunkLen) rows per doc;
+    * the single shuffle groups by uniformly-distributed md5 keys (no skew
+    * by construction); map-side combine collapses within-partition repeats
+    * first. Unlike MinHash this is EXACT and SQL-expressible, so it is
+    * oracle-checked against DuckDB (q37).
+    */
+  def chunkDupGroups(df: DataFrame, textCol: String, idCol: String,
+      chunkLen: Int = 80): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be positive: $chunkLen")
+    val nChunks = ceil(length(col(textCol)) / lit(chunkLen.toDouble)).cast("long")
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol), explode(sequence(lit(0L), nChunks - 1)).as("k"))
+      .select(col(idCol),
+        md5(col(textCol).substr(col("k").cast("int") * chunkLen + 1, lit(chunkLen)))
+          .as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("keeper_id"))
+      .filter(col("n_occurrences") > 1)
+  }
+
   /** Exact character-shingle Jaccard between two texts (verification). */
   def exactJaccard(a: String, b: String, shingleLen: Int = 7): Double = {
     val sa = shingleHashes(a, shingleLen).toSet

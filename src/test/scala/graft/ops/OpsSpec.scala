@@ -30,6 +30,23 @@ class OpsSpec extends AnyFunSuite {
     assert(deduped.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("chunk-level exact-substring dedup finds cross-doc and within-doc repeats") {
+    val a80 = "a" * 80
+    val d80 = "d" * 80
+    val docs = Seq(
+      (1L, a80 + ("b" * 80)), // shares chunk 0 with doc 2
+      (2L, a80 + ("c" * 40)), // trailing partial chunk is its own fingerprint
+      (3L, "entirely unique text that fits in one chunk"),
+      (4L, d80 + d80), // the SAME chunk twice within one doc
+      (5L, "") // empty doc contributes nothing
+    ).toDF("doc_id", "text")
+    val groups = Dedup.chunkDupGroups(docs, "text", "doc_id", chunkLen = 80)
+      .collect().map(r => (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("keeper_id"))).toSet
+    // a80 across docs 1+2 (keeper 1); d80 twice inside doc 4 (keeper 4)
+    assert(groups == Set((2L, 2L, 1L), (1L, 2L, 4L)), s"got $groups")
+  }
+
   test("minhash: identical texts identical signatures; near-dups mostly agree; distinct texts mostly differ") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home"
     val aNear = a.replace("lazy", "sleepy") // one-word edit
