@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOf, Decontam, Dedup, Mixing, Multimodal, Sessionize, Similarity, TextOps}
 import graft.pipeline.QualityFilter
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -205,6 +205,40 @@ object SparkEntry {
           round(avg(col("mean_token_len")), 3).as("avg_token_len"))
     }),
 
+    // benchmark decontamination: word-8-gram overlap between the training
+    // corpus and a held-out benchmark slice (docs with doc_id % 97 == 0),
+    // plus planted "leaked" docs carrying a 10-token benchmark prefix —
+    // every leak must be flagged; exact + SQL-expressible → oracle-checked
+    "q40_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val benchmark = docs.filter(col("doc_id") % 97 === 0)
+      val clean = docs.filter(col("doc_id") % 97 =!= 0)
+      val leaked = benchmark.select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 10)),
+          lit(" xxleak suffix tokens avoid short docs")).as("text"),
+        col("lang"))
+      val corpus = clean.unionByName(leaked)
+      Decontam.contaminationReport(corpus, benchmark, "text", "doc_id", n = 8)
+        .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          sum(col("n_overlapping_ngrams")).as("sum_overlaps"),
+          min(col("doc_id")).as("min_doc_id"))
+    }),
+
+    // Gopher-style repetition filters: duplicate-token fraction (narrow,
+    // codegen'd) + top-bigram fraction (one exploded partial-agg pass)
+    "q41_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text"), col("source"))
+      TextOps.withRepetitionSignals(docs)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("dup_token_frac")), 3).as("avg_dup_token_frac"),
+          round(avg(col("top_bigram_frac")), 3).as("avg_top_bigram_frac"),
+          sum(when(col("dup_token_frac") > 0.5, 1L).otherwise(0L)).as("n_repetitive"))
+    }),
+
     "q16_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("lang"))
@@ -328,6 +362,21 @@ object SparkEntry {
           round(min(col("cosine")), 4).as("min_cosine"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means cells + intra-cell cosine
+    // pruning; planted last-component-zeroed variants (cosine ≈ 0.999 to
+    // their base) must be dropped wherever they land in their base's cell
+    "q43_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+      val variants = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("embedding"),
+          col("label"))
+      Similarity.semanticDedup(emb.unionByName(variants), minCosine = 0.95, nCentroids = 16)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L)).as("n_planted_survivors"))
+    }),
+
     "q23_embedding_norms" -> ((s, dir) => {
       val l2 = sqrt(aggregate(col("embedding"), lit(0.0),
         (acc, v) => acc + v.cast("double") * v.cast("double")))
@@ -357,9 +406,34 @@ object SparkEntry {
           sum(when(col("doc_id") >= 2000000L, 1L).otherwise(0L)).as("n_planted_survivors"))
     }),
 
+    // data-mixing: deterministic per-source weighted subsampling (the
+    // training-recipe "sampling proportion" knob) — hash-threshold filter,
+    // partitioning-independent, pure codegen predicate
+    "q44_weighted_sample" -> ((s, dir) => {
+      Mixing.weightedSample(t(s, dir, "documents"), "doc_id", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+          defaultRate = 0.125)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), round(avg(col("n_chars")), 2).as("avg_chars"))
+    }),
+
     // =================================================================
     // Windows / time
     // =================================================================
+
+    // gap-based sessionization (30-min inactivity threshold): lag marks
+    // session starts, a running sum numbers them — one windowed pass, no
+    // self-join
+    "q45_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(t(s, dir, "events"), Seq("user_id"), "ts", "event_id",
+          gapMs = 1800000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          max(col("duration_ms")).as("max_session_ms"),
+          sum(col("duration_ms")).as("total_session_ms"))
+    }),
 
     "q24_events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
@@ -386,6 +460,28 @@ object SparkEntry {
         .pivot("event_type", types)
         .agg(count(lit(1)))
         .na.fill(0, types)
+    }),
+
+    // as-of join (the time-series join Spark lacks): every purchase event
+    // carries the most recent click of the same user at-or-before it —
+    // union-tag + one window pass, never a range join; oracle = DuckDB's
+    // NATIVE ASOF JOIN, so the operator semantics are checked against an
+    // independent first-class implementation
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"), max(col("event_id")).as("click_id"))
+        .withColumnRenamed("ts", "click_ts")
+      AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("click_id")).as("n_matched"),
+          dsum(col("click_value")).as("sum_click_value"),
+          max(unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("click_ts").cast("timestamp"))).as("max_gap_ms"))
     }),
 
     "q25_running_revenue" -> ((s, dir) => {
@@ -678,6 +774,91 @@ object SparkEntry {
          SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
                 count(*) AS n_occurrences, min(doc_id) AS keeper_id
          FROM chunks GROUP BY chunk_hash HAVING count(*) > 1""",
+
+    "q40_decontamination" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+         bench AS (SELECT * FROM docs WHERE doc_id % 97 = 0),
+         leaked AS (SELECT doc_id + 5000000 AS doc_id,
+           array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')
+             || ' xxleak suffix tokens avoid short docs' AS text, lang FROM bench),
+         corpus AS (SELECT * FROM docs WHERE doc_id % 97 <> 0 UNION ALL SELECT * FROM leaked),
+         ctoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus),
+         grams AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, CAST(u.k AS INT) + 1, CAST(u.k AS INT) + 8), ' ')) AS ngram_hash
+           FROM ctoks, LATERAL unnest(range(0, len(t) - 7)) AS u(k)
+           WHERE len(t) >= 8),
+         btoks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM bench),
+         bgrams AS (SELECT DISTINCT
+             md5(array_to_string(list_slice(t, CAST(u.k AS INT) + 1, CAST(u.k AS INT) + 8), ' ')) AS ngram_hash
+           FROM btoks, LATERAL unnest(range(0, len(t) - 7)) AS u(k)
+           WHERE len(t) >= 8),
+         hits AS (SELECT doc_id, count(*) AS n_overlapping_ngrams
+           FROM grams WHERE ngram_hash IN (SELECT ngram_hash FROM bgrams)
+           GROUP BY doc_id)
+         SELECT lang, count(*) AS n_contaminated,
+           CAST(sum(n_overlapping_ngrams) AS BIGINT) AS sum_overlaps,
+           min(doc_id) AS min_doc_id
+         FROM hits JOIN corpus USING (doc_id) GROUP BY lang""",
+
+    "q41_repetition" ->
+      """WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         dup AS (SELECT doc_id, source,
+             1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dupf FROM toks),
+         bg AS (SELECT doc_id,
+             t[CAST(u.k AS INT) + 1] || ' ' || t[CAST(u.k AS INT) + 2] AS bigram
+           FROM toks, LATERAL unnest(range(0, len(t) - 1)) AS u(k)
+           WHERE len(t) >= 2),
+         bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topf FROM bgc GROUP BY 1)
+         SELECT source, count(*) AS n_docs,
+           round(avg(dupf), 3) AS avg_dup_token_frac,
+           round(avg(coalesce(topf, 0.0)), 3) AS avg_top_bigram_frac,
+           CAST(sum(CASE WHEN dupf > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         FROM dup LEFT JOIN top USING (doc_id) GROUP BY source""",
+
+    "q44_weighted_sample" ->
+      """SELECT source, count(*) AS n_kept, round(avg(n_chars), 2) AS avg_chars
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           CASE source WHEN 'src0' THEN 'zzzz' WHEN 'src1' THEN 'c000'
+                WHEN 'src2' THEN '8000' WHEN 'src3' THEN '4000'
+                ELSE '2000' END
+         GROUP BY source""",
+
+    "q45_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         m AS (SELECT user_id, event_id, tms,
+             CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS is_start
+           FROM o),
+         sn AS (SELECT user_id, tms,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+           FROM m),
+         sess AS (SELECT user_id, session_no, count(*) AS n_events,
+             max(tms) - min(tms) AS duration_ms FROM sn GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           max(n_events) AS max_session_events,
+           max(duration_ms) AS max_session_ms,
+           CAST(sum(duration_ms) AS BIGINT) AS total_session_ms
+         FROM sess GROUP BY user_id""",
+
+    "q42_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value,
+                 max(event_id) AS click_id
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         j AS (SELECT p.user_id, p.ts, p.purchase_id, c.click_ts, c.click_value, c.click_id
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+         SELECT user_id, count(*) AS n_purchases, count(click_id) AS n_matched,
+           CAST(sum(CAST(click_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value,
+           max(epoch_ms(ts) - epoch_ms(click_ts)) AS max_gap_ms
+         FROM j GROUP BY user_id""",
 
     "q38_rollup_orders" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, carry the single most recent right row
+  * with `right.time <= left.time` on the same key (the time-series join
+  * Spark lacks as a built-in; DuckDB/kdb call it ASOF JOIN).
+  *
+  * Implementation is the scalable union-tag trick, NOT a range join: tag
+  * both sides, union them, and run ONE window pass per key ordered by
+  * (time, side) with right rows sorting first at equal timestamps (so a
+  * right row at exactly left.time matches — inclusive semantics, same as
+  * DuckDB's `ON l.ts >= r.ts`). `last(..., ignoreNulls)` over the growing
+  * frame carries each right payload column forward; left rows before any
+  * right row get nulls (left-outer semantics).
+  *
+  * Scale shape: one shuffle of |left| + |right| rows keyed by the join key,
+  * then a per-key sort — O((n+m) log(n+m)) per key, versus the candidate
+  * explosion of an inequality/range join (which Spark would otherwise plan
+  * as BroadcastNestedLoop). No driver-side state; skewed keys are bounded
+  * by the same salting options as any windowed op. Oracle-checked against
+  * DuckDB's native ASOF JOIN (SparkEntry q42).
+  */
+object AsOf {
+
+  /** Left as-of join.
+    *
+    * Requirements (checked): the non-key column names of `left` and `right`
+    * must be disjoint (rename before calling), and `right` must be unique
+    * per (keys, rightTimeCol) — pre-aggregate duplicates, otherwise which
+    * duplicate wins is undefined in ANY as-of engine.
+    *
+    * Returns all left columns plus all non-key right columns (including
+    * `rightTimeCol`, so callers can compute the match gap), null where no
+    * right row precedes the left row.
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    val lCols = left.columns.filterNot(keyCols.contains).toSeq
+    val rCols = right.columns.filterNot(keyCols.contains).toSeq
+    val clash = lCols.intersect(rCols)
+    require(clash.isEmpty,
+      s"left/right non-key columns must be disjoint; rename: ${clash.mkString(", ")}")
+    require(lCols.contains(leftTimeCol), s"left is missing $leftTimeCol")
+    require(rCols.contains(rightTimeCol), s"right is missing $rightTimeCol")
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType).as(c)
+
+    val lSel = keyCols.map(col) ++
+      Seq(col(leftTimeCol).as("__t"), lit(1).as("__side")) ++
+      lCols.map(col) ++ rCols.map(c => nullOf(right, c))
+    val rSel = keyCols.map(col) ++
+      Seq(col(rightTimeCol).as("__t"), lit(0).as("__side")) ++
+      lCols.map(c => nullOf(left, c)) ++ rCols.map(col)
+
+    val tagged = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rCols.foldLeft(tagged) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

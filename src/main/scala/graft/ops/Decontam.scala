@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag (and drop) training
+  * documents that share word n-grams with a held-out benchmark/eval set —
+  * the standard "n-gram overlap" contamination check (GPT-3 appendix C /
+  * PaLM-style 8-gram collision rule).
+  *
+  * Scale shape: each document emits its DISTINCT word-n-gram fingerprints in
+  * one narrow pass (`posexplode` over the token array — no joins, no UDF,
+  * md5 keys uniformly distributed). The benchmark side is tiny by nature
+  * (eval sets are thousands of rows, not billions), so its distinct
+  * fingerprint set broadcasts and the contamination check is a map-side
+  * semi join: the 10^12-row training side is touched exactly once and never
+  * shuffles on anything but its own aggregation key (doc id). For an
+  * unusually large benchmark set pass `broadcastBenchmark = false` to fall
+  * back to a shuffled semi join.
+  *
+  * Exact + SQL-expressible, so oracle-checked end-to-end against DuckDB
+  * (SparkEntry q40).
+  */
+object Decontam {
+
+  /** Distinct word-n-gram fingerprints per document: (id, ngram_hash).
+    * Tokens are whitespace-split from trimmed text; the fingerprint is the
+    * md5 of the n tokens joined by a single space (formatting-normalised,
+    * reproducible in any engine). Documents with fewer than n tokens emit
+    * nothing — too short to carry a full n-gram.
+    */
+  def wordNgramHashes(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.filter(graft.ops.TextOps.tokenCount(col(textCol)) >= n)
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - n)).as("__k"))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("__toks"), col("__k") + 1, lit(n)))).as("ngram_hash"))
+      .distinct()
+  }
+
+  /** Per-document contamination counts against a benchmark set:
+    * (id, n_overlapping_ngrams) for every corpus document sharing at least
+    * `minOverlap` distinct word n-grams with ANY benchmark document.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8, minOverlap: Int = 1,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val corpusGrams = wordNgramHashes(corpus, textCol, idCol, n)
+    val benchGrams0 = wordNgramHashes(benchmark, textCol, idCol, n)
+      .select(col("ngram_hash")).distinct()
+    val benchGrams = if (broadcastBenchmark) broadcast(benchGrams0) else benchGrams0
+    corpusGrams.join(benchGrams, Seq("ngram_hash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlapping_ngrams"))
+      .filter(col("n_overlapping_ngrams") >= minOverlap)
+  }
+
+  /** The filtering form: corpus minus contaminated documents (anti join on
+    * the contamination report).
+    */
+  def dropContaminated(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8, minOverlap: Int = 1,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val bad = contaminationReport(corpus, benchmark, textCol, idCol, n,
+      minOverlap, broadcastBenchmark).select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators: deterministic per-source weighted subsampling —
+  * the "sampling proportion" knob of LLM training-data recipes (each source
+  * kept at its own rate, reproducibly, independent of partitioning).
+  *
+  * The keep decision is a pure function of the row id: the first 4 hex
+  * digits of md5(id) compared lexicographically against a per-source
+  * threshold (hex chars sort correctly in ASCII, so the comparison is a
+  * uniform draw over 65,536 buckets — rate precision 1/65536 ≈ 0.0015%%).
+  * No RNG state, no partition-order dependence, identical keep set at any
+  * parallelism — and SQL-expressible, so oracle-checked (SparkEntry q44).
+  *
+  * Scale shape: a narrow codegen'd filter — no shuffle, no UDF, pushes
+  * through the scan like any predicate.
+  */
+object Mixing {
+
+  /** Hex threshold for a keep rate in [0, 1]: rows whose 4-hex-digit draw
+    * sorts BELOW the threshold are kept. Rate 1.0 maps to a sentinel above
+    * every hex string ("zzzz") so it keeps everything.
+    */
+  def rateToHexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    if (rate >= 1.0) "zzzz" else f"${(rate * 65536).toInt}%04x"
+  }
+
+  /** The uniform draw column: first 4 hex chars of md5(id-as-string). */
+  def hashDraw(id: Column): Column = substring(md5(id.cast("string")), 1, 4)
+
+  /** Keep predicate for per-source rates: `rates` maps a source value to
+    * its keep rate; sources absent from the map use `defaultRate`.
+    */
+  def keepPredicate(id: Column, source: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    val threshold = rates.foldLeft(lit(rateToHexThreshold(defaultRate))) {
+      case (acc, (src, rate)) =>
+        when(source === src, lit(rateToHexThreshold(rate))).otherwise(acc)
+    }
+    hashDraw(id) < threshold
+  }
+
+  /** Weighted subsample: keep each row at its source's rate. */
+  def weightedSample(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame =
+    df.filter(keepPredicate(col(idCol), col(sourceCol), rates, defaultRate))
+}

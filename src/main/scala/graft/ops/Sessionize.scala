@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: split each key's event stream into sessions
+  * wherever the gap between consecutive events exceeds a threshold — the
+  * classic event-analytics operator (and the batch twin of a streaming
+  * session window).
+  *
+  * Implementation is the standard two-window composition, all codegen'd:
+  * `lag` marks session starts (gap > threshold, or first event), a running
+  * `sum` over the marks numbers sessions per key. One shuffle keyed by the
+  * session key + a per-key sort — the same cost envelope as any windowed
+  * aggregation; no self-join, no range join.
+  *
+  * Ties: events at the SAME (key, ts) are ordered by the caller-supplied
+  * tie-break column so `lag` is deterministic at any parallelism.
+  * SQL-expressible → oracle-checked (SparkEntry q45).
+  */
+object Sessionize {
+
+  /** Adds a `session_no` column (1-based ordinal of the session within its
+    * key) to `df`. `gapMs` is the inactivity threshold in milliseconds.
+    */
+  def withSessionNo(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreakCol: String, gapMs: Long): DataFrame = {
+    require(keyCols.nonEmpty, "sessionize needs at least one key column")
+    require(gapMs > 0, s"gapMs must be positive: $gapMs")
+    val ordered = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val tMs = unix_millis(col(tsCol).cast("timestamp"))
+    val prevMs = lag(tMs, 1).over(ordered)
+    val isStart = when(prevMs.isNull || tMs - prevMs > gapMs, 1L).otherwise(0L)
+    df.withColumn("session_no",
+      sum(isStart).over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session summary: one row per (key, session_no) with the event
+    * count, start/end, and duration.
+    */
+  def sessions(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreakCol: String, gapMs: Long): DataFrame = {
+    val tMs = unix_millis(col(tsCol).cast("timestamp"))
+    withSessionNo(df, keyCols, tsCol, tieBreakCol, gapMs)
+      .groupBy((keyCols.map(col) :+ col("session_no")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(tMs).as("start_ms"),
+        max(tMs).as("end_ms"),
+        (max(tMs) - min(tMs)).as("duration_ms"))
+  }
+}

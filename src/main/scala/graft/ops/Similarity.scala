@@ -259,6 +259,56 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * clusters the embedding space, then ONLY within each cluster are
+    * pairwise cosines computed and near-identical vectors dropped (keep the
+    * smallest id, same keeper policy as the text dedup ops). The clustering
+    * is what makes this tractable at corpus scale: candidate pairs are
+    * m²-per-cell instead of N², and cells shrink as nCentroids grows
+    * (production guidance: nCentroids ≈ N / desired-cell-size; the paper
+    * uses ~50k clusters for LAION-scale).
+    *
+    * Scale shape: centroids train once on a hash-spread sample and
+    * broadcast; assignment is one map pass; the only shuffle keys by cell.
+    * Cells wider than `maxCellWidth` are exempted from dedup (their rows
+    * all survive) — the honest guard against a degenerate cell exploding
+    * the self-join; widen nCentroids rather than maxCellWidth.
+    *
+    * NOTE the centroid training triggers a sample collect over `emb` before
+    * the lazy dedup plan is built — at scale persist `emb` (or train once
+    * via [[trainIvfCentroids]] + `ModelArtifacts.saveCentroids` and call
+    * [[semanticDedupWithCentroids]]).
+    */
+  def semanticDedup(emb: DataFrame, minCosine: Double,
+      nCentroids: Int = 16, sampleSize: Int = 2000, maxCellWidth: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDedupWithCentroids(emb, minCosine,
+      trainIvfCentroids(emb, nCentroids, sampleSize, idCol, vecCol),
+      maxCellWidth, idCol, vecCol)
+
+  /** Semantic dedup against a pre-trained (or loaded) centroid table. */
+  def semanticDedupWithCentroids(emb: DataFrame, minCosine: Double,
+      centroids: Array[Array[Double]], maxCellWidth: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      if (v == null) -1 else nearestCentroid(v.toArray, bc.value)
+    }
+    val cells = emb.select(col(idCol), col(vecCol), assignUdf(col(vecCol)).as("cell"))
+    // cell width via window count over the same shuffle the self-join reuses
+    val w = Window.partitionBy(col("cell"))
+    val pruned = cells.withColumn("__w", count(lit(1)).over(w))
+      .filter(col("__w") <= maxCellWidth)
+    val l = pruned.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = pruned.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"))
+    val dropIds = l.join(r, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("b").as(idCol)).distinct()
+    emb.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Bucketed ANN: candidates = bucket collisions in any table; rank by
     * exact cosine over the (deduplicated) candidate set. The scan touches
     * only colliding buckets — never a full cross join.

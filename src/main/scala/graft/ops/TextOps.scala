@@ -105,4 +105,45 @@ object TextOps {
       .withColumn("ws_ratio", wsRatio(t))
       .withColumn("mean_token_len", meanTokenLen(t))
   }
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    * "repetitious documents are removed"):
+    *
+    *  - `dup_token_frac`  = 1 − distinct tokens / total tokens (0 if empty)
+    *  - `top_bigram_frac` = occurrences of the most frequent adjacent-token
+    *    bigram / total bigrams (0 if fewer than 2 tokens)
+    *
+    * Scale shape: `dup_token_frac` is a narrow per-row expression
+    * (`array_distinct`, codegen'd, no shuffle). The bigram mode genuinely
+    * needs a per-(doc, bigram) count, so it explodes bigrams once and runs
+    * two partial-aggregated shuffles keyed by (id, bigram) then id — keys
+    * are uniform (id is unique; bigram fans out ~tokens-per-doc) — and
+    * joins back to the narrow signals on id. Exact + SQL-expressible →
+    * oracle-checked (SparkEntry q41).
+    */
+  def withRepetitionSignals(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.withColumn("__toks",
+      when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+        .otherwise(toks))
+    val narrow = base
+      .withColumn("dup_token_frac",
+        when(size(col("__toks")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("__toks"))).cast("double") / size(col("__toks"))))
+    val bigramTop = base
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__toks")) - 2),
+        k => concat(element_at(col("__toks"), k + 1), lit(" "),
+          element_at(col("__toks"), k + 2)))).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_bigram_frac"))
+    narrow
+      .join(bigramTop, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+      .drop("__toks")
+  }
 }

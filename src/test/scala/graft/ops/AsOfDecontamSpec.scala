@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Specs for the round-3 additions: as-of join, benchmark decontamination,
+  * and Gopher-style repetition signals.
+  */
+class AsOfDecontamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // As-of join
+  // ------------------------------------------------------------------
+  test("as-of join carries the most recent right row at-or-before each left row") {
+    val left = Seq(
+      ("u1", 10L, "p1"), // before any right row → null
+      ("u1", 20L, "p2"), // matches right at 20 (inclusive)
+      ("u1", 35L, "p3"), // matches right at 30, not 40
+      ("u2", 50L, "p4") // different key: only u2's rights are visible
+    ).toDF("user", "ts", "pid")
+    val right = Seq(
+      ("u1", 20L, 2.0), ("u1", 30L, 3.0), ("u1", 40L, 4.0),
+      ("u2", 45L, 45.0), ("u1", 49L, 49.0)
+    ).toDF("user", "rts", "rval")
+    val out = AsOf.joinAsOf(left, right, Seq("user"), "ts", "rts")
+      .select("pid", "rts", "rval").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(out == Set(
+      ("p1", -1L, -1.0), ("p2", 20L, 2.0), ("p3", 30L, 3.0), ("p4", 45L, 45.0)),
+      s"got $out")
+  }
+
+  test("as-of join rejects colliding non-key column names") {
+    val l = Seq(("a", 1L, 1)).toDF("k", "ts", "v")
+    val r = Seq(("a", 1L, 2)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(l, r, Seq("k"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  // ------------------------------------------------------------------
+  // Decontamination
+  // ------------------------------------------------------------------
+  private val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+  test("decontamination flags docs sharing a word 8-gram with the benchmark") {
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 8-token prefix of the benchmark + fresh suffix → grams at pos 0..2
+      // of its first 10 tokens... prefix has 10 tokens → 3 shared 8-grams
+      (1L, benchText.split(" ").take(10).mkString(" ") + " zulu yankee xray whiskey victor uniform tango sierra"),
+      (2L, "completely unrelated words one two three four five six seven eight nine"),
+      (3L, "alpha bravo charlie"), // shares tokens but too short for an 8-gram
+      (4L, benchText) // verbatim copy: shares all 3 distinct 8-grams
+    ).toDF("doc_id", "text")
+    val report = Decontam.contaminationReport(corpus, benchmark, "text", "doc_id", n = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_overlapping_ngrams"))).toMap
+    assert(report == Map(1L -> 3L, 4L -> 3L), s"got $report")
+    val kept = Decontam.dropContaminated(corpus, benchmark, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("ngram fingerprints are distinct per doc (a repeated 8-gram counts once)") {
+    val doc = Seq((1L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    // 16 tokens → 9 windows, but the repeat means windows wrap around the
+    // seam: distinct hashes = windows 0..8 minus duplicates of window 0
+    val n = Decontam.wordNgramHashes(doc, "text", "doc_id", n = 8).count()
+    // windows: positions 0..8; position 8 == position 0 ("a b c d e f g h")
+    assert(n == 8L, s"expected 8 distinct 8-grams, got $n")
+  }
+
+  // ------------------------------------------------------------------
+  // Repetition signals
+  // ------------------------------------------------------------------
+  test("repetition signals: hand-computed dup-token and top-bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a b"), // 4 tokens, 2 distinct → dup 0.5; bigrams: "a a"×2, "a b"×1 → top 2/3
+      (2L, "w x y z"), // all distinct → dup 0; every bigram unique → top 1/3
+      (3L, "solo") // one token: dup 0, no bigrams → top 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.withRepetitionSignals(docs)
+      .select("doc_id", "dup_token_frac", "top_bigram_frac")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_token_frac"), r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(out(1L)._1 == 0.5 && math.abs(out(1L)._2 - 2.0 / 3.0) < 1e-12, s"doc1 ${out(1L)}")
+    assert(out(2L)._1 == 0.0 && math.abs(out(2L)._2 - 1.0 / 3.0) < 1e-12, s"doc2 ${out(2L)}")
+    assert(out(3L) == (0.0, 0.0), s"doc3 ${out(3L)}")
+  }
+
+  // ------------------------------------------------------------------
+  // Semantic dedup (SemDeDup)
+  // ------------------------------------------------------------------
+  test("semantic dedup drops near-identical embeddings within a k-means cell") {
+    // two well-separated groups; ids 10/11 are near-identical (cos ≈ 1)
+    def vec(base: Float, jitter: Float): Array[Float] =
+      Array.tabulate(8)(i => if (i < 4) base + i * jitter else jitter)
+    val emb = Seq(
+      (10L, vec(1.0f, 0.01f)), (11L, vec(1.0f, 0.011f)), // near-dups
+      (12L, vec(-5.0f, 0.3f)), (13L, vec(-5.0f, -0.9f)), // other cell, distinct
+      (14L, Array.tabulate(8)(i => (i + 1).toFloat)) // lone distinct vector
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, minCosine = 0.999,
+      nCentroids = 2, sampleSize = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(11L), s"near-dup 11 should be dropped: $kept")
+    assert(kept.contains(10L) && kept.contains(12L) && kept.contains(13L) && kept.contains(14L),
+      s"distinct vectors must survive: $kept")
+  }
+
+  test("semantic dedup exempts cells wider than maxCellWidth (guard, not dedup)") {
+    val emb = (1L to 20L).map(i => (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    // all 20 identical → one cell of width 20 > maxCellWidth=10 → all survive
+    val kept = Similarity.semanticDedup(emb, minCosine = 0.9,
+      nCentroids = 2, sampleSize = 5, maxCellWidth = 10).count()
+    assert(kept == 20L, s"oversized cell must be exempt, kept=$kept")
+  }
+
+  // ------------------------------------------------------------------
+  // Weighted sampling (data mixing)
+  // ------------------------------------------------------------------
+  test("weighted sample: rate 1 keeps all, rate 0 keeps none, rates are approximate") {
+    val docs = (1L to 2000L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val kept = Mixing.weightedSample(docs, "doc_id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.25), defaultRate = 0.0)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000L, s"rate-1.0 source must keep all: $bySrc")
+    val r1 = bySrc.getOrElse("src1", 0L)
+    assert(r1 > 150 && r1 < 350, s"rate-0.25 of 1000 should be ~250: $r1")
+  }
+
+  test("weighted sample keep set is identical at any partitioning") {
+    val docs = (1L to 500L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val a = Mixing.weightedSample(docs.repartition(1), "doc_id", "source",
+      Map("src1" -> 0.5), 0.3).select("doc_id").as[Long].collect().toSet
+    val b = Mixing.weightedSample(docs.repartition(16), "doc_id", "source",
+      Map("src1" -> 0.5), 0.3).select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // Sessionization
+  // ------------------------------------------------------------------
+  test("sessionize splits on gaps over the threshold and numbers sessions per key") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:10:00", 2L),
+      (1L, "2024-01-01 01:00:00", 3L), (1L, "2024-01-01 01:10:00", 4L), // 50-min gap → new session
+      (2L, "2024-01-01 05:00:00", 5L) // separate key: its own session 1
+    ).toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val sess = Sessionize.sessions(ev, Seq("user_id"), "ts", "event_id",
+      gapMs = 30L * 60 * 1000)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_no")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms"))).toMap
+    assert(sess == Map(
+      (1L, 1L) -> (2L, 600000L), (1L, 2L) -> (2L, 600000L), (2L, 1L) -> (1L, 0L)),
+      s"got $sess")
+  }
+
+  test("repetition signals catch a pathologically repetitive doc") {
+    val docs = Seq(
+      (1L, Array.fill(50)("spam ham").mkString(" ")),
+      (2L, (1 to 100).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextOps.withRepetitionSignals(docs)
+      .select("doc_id", "dup_token_frac", "top_bigram_frac")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_token_frac"), r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(out(1L)._1 > 0.9 && out(1L)._2 > 0.4, s"repetitive doc not caught: ${out(1L)}")
+    assert(out(2L)._1 == 0.0 && out(2L)._2 < 0.02, s"clean doc flagged: ${out(2L)}")
+  }
+}

@@ -41,6 +41,12 @@ def load_emb(con, sf):
         f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id").fetchall()
 
 
+def load_emb_labeled(con, sf):
+    return con.execute(
+        f"SELECT vec_id, embedding, label FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+
 def q17(docs):
     groups = {}
     m = langid_model()
@@ -197,6 +203,28 @@ def q22c(emb):
     avg_c = round_half_up(sum(c for _a, _b, c in nd) / n, 4)
     min_c = round_half_up(min(c for _a, _b, c in nd), 4)
     return ["n_pairs", "avg_cosine", "min_cosine"], [(n, avg_c, min_c)]
+
+
+def q43(embl):
+    """Mirror of SparkEntry q43: SemDeDup over embeddings + planted
+    last-component-zeroed variants of every vec_id % 7 == 0."""
+    corpus = [(vid, v) for vid, v, _l in embl] + \
+        [(vid + 1000000, list(v[:63]) + [0.0]) for vid, v, _l in embl if vid % 7 == 0]
+    labels = {vid: l for vid, _v, l in embl}
+    for vid, _v, l in embl:
+        if vid % 7 == 0:
+            labels[vid + 1000000] = l
+    drops = similarity.semantic_dedup_drops(corpus, min_cosine=0.95, n_centroids=16)
+    groups = {}
+    for vid, _v in corpus:
+        if vid in drops:
+            continue
+        g = groups.setdefault(labels[vid], [0, 0])
+        g[0] += 1
+        if vid >= 1000000:
+            g[1] += 1
+    cols = ["label", "n_kept", "n_planted_survivors"]
+    return cols, [(l, g[0], g[1]) for l, g in groups.items()]
 
 
 _analysis_cache = {}
@@ -428,6 +456,7 @@ def main():
         "q22_ann_lsh": lambda: q22(emb),
         "q22b_ann_ivf": lambda: q22b(emb),
         "q22c_embedding_neardup": lambda: q22c(emb),
+        "q43_semantic_dedup": lambda: q43(load_emb_labeled(con, sf_dir)),
         "q35_curation": lambda: q35(docs),
         "q36_pipeline_digest": q36,
         "q27_pipeline_decisions": q27,

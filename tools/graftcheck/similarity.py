@@ -97,6 +97,27 @@ def embedding_near_dups(emb, min_cosine, n_tables=8, planes_per_table=8,
     return out
 
 
+def semantic_dedup_drops(emb, min_cosine, n_centroids=16, sample_size=2000,
+                         max_cell_width=4096):
+    """Mirror of Similarity.semanticDedup: ids dropped (smaller-id keeper)."""
+    sample = hash_spread_sample(emb, sample_size)
+    cents = train_centroids(sample, n_centroids)
+    cells = {}
+    for vid, v in emb:
+        cells.setdefault(nearest_centroid(v, cents), []).append(vid)
+    vecs = dict(emb)
+    drops = set()
+    for ids in cells.values():
+        if len(ids) > max_cell_width:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if cosine(vecs[ids[x]], vecs[ids[y]]) >= min_cosine:
+                    drops.add(ids[y])
+    return drops
+
+
 # ----------------------------------------------------------------------
 # IVF
 # ----------------------------------------------------------------------
