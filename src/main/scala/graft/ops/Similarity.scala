@@ -17,10 +17,21 @@ import graft.util.Hashing
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, as a pure Catalyst
-    * expression (zip_with + aggregate — stays codegen-friendly, no UDF).
+  /** Cosine similarity between two float-array columns — a NATIVE codegen
+    * expression (graft.functions.CosineSimExpr: one static call inside
+    * WholeStageCodegen, primitive float reads, float64 accumulation in
+    * element order). Bit-identical to the zip_with/aggregate higher-order
+    * formulation it replaced (pinned by [[cosineReference]] spec and the
+    * q21 bitwise DuckDB oracle) — and ~50× faster per pair, which is what
+    * the multi-million-pair dedup joins are bound by.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr.cosine_sim(a, b)
+
+  /** The original higher-order-function formulation, kept as the parity
+    * reference for the spec that pins [[cosine]] bit-identical to it.
+    */
+  private[graft] def cosineReference(a: Column, b: Column): Column = {
     // elements are float32; upcast BEFORE multiplying so the arithmetic is
     // pure float64 (parity with reference implementations that work in f64)
     val dot = aggregate(
@@ -102,20 +113,25 @@ object Similarity {
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     val n = sample.length
-    // farthest-point init from a fixed start — deterministic, spreads seeds
+    // farthest-point init from a fixed start — deterministic, spreads seeds.
+    // Incremental k-center greedy: keep each sample's distance to its
+    // NEAREST chosen centroid and fold in only the newest centroid per
+    // round — O(k·n·dim), not O(k²·n·dim); the running min is the same
+    // sequential min the naive rescan computes, so the chosen centroids
+    // are bit-identical (pinned by the Python crosscheck port).
     val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     centroids += sample(0).map(_.toDouble)
+    val minDist = new Array[Double](n)
+    java.util.Arrays.fill(minDist, Double.MaxValue)
     while (centroids.length < math.min(k, n)) {
+      val newest = centroids.last
       var bestIdx = 0; var bestDist = -1.0
       var i = 0
       while (i < n) {
-        var nearest = Double.MaxValue
-        centroids.foreach { c =>
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = sample(i)(j) - c(j); d += t * t; j += 1 }
-          if (d < nearest) nearest = d
-        }
-        if (nearest > bestDist) { bestDist = nearest; bestIdx = i }
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = sample(i)(j) - newest(j); d += t * t; j += 1 }
+        if (d < minDist(i)) minDist(i) = d
+        if (minDist(i) > bestDist) { bestDist = minDist(i); bestIdx = i }
         i += 1
       }
       centroids += sample(bestIdx).map(_.toDouble)

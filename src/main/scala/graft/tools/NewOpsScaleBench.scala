@@ -1,0 +1,199 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Decontam, Sessionize, Similarity, TextOps}
+import graft.util.Hashing
+
+/** Scale-stress for the round-3-final operators — the same discipline as
+  * DedupScaleBench (everything else in the repo with a scale claim has a
+  * ≥1M-row measurement; these ops should too). Deterministic synthetic
+  * inputs with PLANTED positives so each measurement doubles as an
+  * end-to-end correctness check at size:
+  *
+  *   1. decontamination: 1M-doc corpus vs 10k-doc benchmark set, ~9.9k
+  *      planted leaks (benchmark vocab is disjoint from corpus vocab, so
+  *      the expected hit count is EXACT)
+  *   2. repetition signals: the exploded-bigram pass over the same 1M docs
+  *   3. SemDeDup: 1.1M embeddings (dim 64, 1024 k-means cells), 100k
+  *      planted near-identical variants
+  *   4. as-of join + sessionization: 12M-event stream, 100k users
+  *
+  * One JSON line per op: wall sec, rows/s, shuffle write MB, verification
+  * counts. Usage:
+  *   SPARK_DRIVER_MEM=32g sbt -batch "runMain graft.tools.NewOpsScaleBench [nDocs] [nVecs] [nEvents]"
+  * (run EXCLUSIVELY — concurrent sbt corrupts timings, CLAUDE.md.)
+  */
+object NewOpsScaleBench {
+
+  /** Corpus doc: ~40-80 words from vocab w0..w4999 (pure function of id). */
+  private val corpusTextUdf = udf { (id: Long) =>
+    val r = new java.util.SplittableRandom(Hashing.splitmix64(id))
+    val len = 40 + r.nextInt(40)
+    val sb = new StringBuilder(len * 6)
+    var i = 0
+    while (i < len) { sb.append('w').append(r.nextInt(5000)).append(' '); i += 1 }
+    sb.result().trim
+  }
+
+  /** Benchmark doc: 30 words from the DISJOINT vocab b0..b4999, so corpus
+    * docs can only collide with it via a planted leak.
+    */
+  private val benchTextUdf = udf { (id: Long) =>
+    val r = new java.util.SplittableRandom(Hashing.splitmix64(id ^ 0x5ca1ab1eL))
+    val sb = new StringBuilder(200)
+    var i = 0
+    while (i < 30) { sb.append('b').append(r.nextInt(5000)).append(' '); i += 1 }
+    sb.result().trim
+  }
+
+  /** Unit-scale random embedding, dim 64 (pure function of id). */
+  private val vecUdf = udf { (id: Long) =>
+    val r = new java.util.SplittableRandom(Hashing.splitmix64(id ^ 0x7ec7edL))
+    Array.fill(64)(r.nextDouble().toFloat * 2f - 1f)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val nVecs = if (args.length > 1) args(1).toLong else 1000000L
+    val nEvents = if (args.length > 2) args(2).toLong else 12000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-newops-scale")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleWrite = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def measure(op: String, rows: Long)(body: => String): Unit = {
+      System.gc()
+      val sh0 = shuffleWrite.get()
+      val t0 = System.nanoTime()
+      val verif = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus drain
+      val shMb = (shuffleWrite.get() - sh0) / 1e6
+      println(f"""{"op":"$op","rows":$rows,"sec":$sec%.2f,"rowsPerSec":${(rows / sec).toLong},"shuffleWriteMB":$shMb%.1f,$verif}""")
+    }
+
+    // ------------------------------------------------------------------
+    // Corpora (generated once to parquet; generation is never measured)
+    // ------------------------------------------------------------------
+    val nBench = 10000L
+    val docsPath = s"/tmp/graft-newops-docs-v2-$nDocs"
+    val benchPath = s"/tmp/graft-newops-bench-$nBench"
+    if (!new java.io.File(benchPath).exists()) {
+      spark.range(0, nBench, 1, 16)
+        .select(col("id").as("doc_id"), benchTextUdf(col("id")).as("text"))
+        .write.mode("overwrite").parquet(benchPath)
+    }
+    if (!new java.io.File(docsPath).exists()) {
+      // every 101st doc is a leak: the first 10 tokens of benchmark doc
+      // (id % nBench) spliced in front of its own text
+      val bench = spark.read.parquet(benchPath)
+        .select(col("doc_id").as("bid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("prefix"))
+      spark.range(0, nDocs, 1, 64)
+        .select(col("id").as("doc_id"), corpusTextUdf(col("id")).as("text"),
+          (col("id") % nBench).as("bid"))
+        .join(broadcast(bench), Seq("bid"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 101 === 0, concat(col("prefix"), lit(" "), col("text")))
+            // every 997th non-leak doc is pathologically repetitive (the
+            // repetition-signal planted positive)
+            .when(col("doc_id") % 997 === 0,
+              concat_ws(" ", array_repeat(lit("spam ham"), 50)))
+            .otherwise(col("text")).as("text"))
+        .repartition(64).write.mode("overwrite").parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+    val bench = spark.read.parquet(benchPath)
+    val nPlantedLeaks = docs.filter(col("doc_id") % 101 === 0).count() // warms cache too
+
+    measure("decontamination", nDocs) {
+      val flagged = Decontam.contaminationReport(docs, bench, "text", "doc_id", n = 8)
+        .count()
+      s""""planted":$nPlantedLeaks,"flagged":$flagged,"exact":${flagged == nPlantedLeaks}"""
+    }
+
+    val nPlantedRep = docs
+      .filter(col("doc_id") % 997 === 0 && col("doc_id") % 101 =!= 0).count()
+    measure("repetition_signals", nDocs) {
+      val n = TextOps.withRepetitionSignals(docs)
+        .filter(col("dup_token_frac") > 0.45).count()
+      s""""plantedRepetitive":$nPlantedRep,"flaggedRepetitive":$n"""
+    }
+
+    // ------------------------------------------------------------------
+    // SemDeDup at nVecs (+10% planted variants)
+    // ------------------------------------------------------------------
+    val vecsPath = s"/tmp/graft-newops-vecs-$nVecs"
+    if (!new java.io.File(vecsPath).exists()) {
+      val base = spark.range(0, nVecs, 1, 64)
+        .select(col("id").as("vec_id"), vecUdf(col("id")).as("embedding"))
+      val variants = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 2 * nVecs).as("vec_id"),
+          concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("embedding"))
+      base.unionByName(variants).repartition(64).write.mode("overwrite").parquet(vecsPath)
+    }
+    val vecs = spark.read.parquet(vecsPath)
+    val nAll = vecs.count()
+    val nPlantedVecs = nAll - nVecs
+
+    measure("semantic_dedup", nAll) {
+      val kept = Similarity.semanticDedup(vecs, minCosine = 0.95,
+        nCentroids = 1024, sampleSize = 2000).count()
+      val dropped = nAll - kept
+      // a variant survives only if k-means separates it from its base
+      s""""planted":$nPlantedVecs,"dropped":$dropped,"plantedRecall":${dropped.toDouble / nPlantedVecs}"""
+    }
+
+    // ------------------------------------------------------------------
+    // As-of join + sessionization over an nEvents stream, 100k users
+    // ------------------------------------------------------------------
+    val eventsPath = s"/tmp/graft-newops-events-$nEvents"
+    if (!new java.io.File(eventsPath).exists()) {
+      spark.range(0, nEvents, 1, 64)
+        .select(col("id").as("event_id"),
+          pmod(xxhash64(col("id")), lit(100000L)).as("user_id"),
+          (lit(1704067200000L) + pmod(xxhash64(col("id") + 1), lit(2592000000L))).as("ts_ms"),
+          when(col("id") % 6 === 0, "purchase").otherwise("click").as("event_type"),
+          (pmod(xxhash64(col("id") + 2), lit(10000L)) / 100.0).as("value"))
+        .repartition(64).write.mode("overwrite").parquet(eventsPath)
+    }
+    val events = spark.read.parquet(eventsPath)
+    events.count()
+
+    measure("asof_join", nEvents) {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), col("event_id").as("purchase_id"))
+      val clicks = events.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms").as("click_ms"))
+        .agg(max(col("value")).as("click_value"))
+      val joined = AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts_ms", "click_ms")
+      val matched = joined.filter(col("click_value").isNotNull).count()
+      s""""matched":$matched"""
+    }
+
+    measure("sessionize", nEvents) {
+      val withTs = events.withColumn("ts", timestamp_millis(col("ts_ms")))
+      val n = Sessionize.sessions(withTs, Seq("user_id"), "ts", "event_id",
+        gapMs = 1800000L).count()
+      s""""sessions":$n"""
+    }
+
+    spark.stop()
+  }
+}

@@ -65,6 +65,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ranged.selectExpr("size(sig)").distinct().head().getInt(0) == 64)
   }
 
+  test("native cosine_sim is BIT-identical to the higher-order formulation and codegen'd") {
+    // varied vectors incl. zero vector, negatives, denormal-ish magnitudes
+    val rng = new scala.util.Random(42)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(
+        if (i == 7) 0.0f else (rng.nextFloat() * 2 - 1) * math.pow(10, i % 7 - 3).toFloat))
+    }.toDF("id", "v")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(5000)
+      .select(
+        graft.ops.Similarity.cosine(col("a.v"), col("b.v")).as("native"),
+        graft.ops.Similarity.cosineReference(col("a.v"), col("b.v")).as("reference"))
+    val bad = pairs.filter(
+      // bitwise compare: NaN-safe via cast to long bits would be overkill —
+      // assert exact double equality (both formulations avoid NaN by the
+      // zero-norm guard)
+      col("native") =!= col("reference")).count()
+    assert(bad == 0L, s"$bad pairs differ between native and reference cosine")
+    val ranged = spark.range(50).select(
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(col("id") + i, lit(7)).cast("float")).as("v"))
+    val plan = ranged.select(graft.ops.Similarity.cosine(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), s"expression missing from plan:\n$plan")
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+    // null array in → null out
+    val n = Seq((Option.empty[Array[Float]], Array(1.0f))).toDF("a", "b")
+      .select(graft.ops.Similarity.cosine(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("SQL registration: minhash_signature callable from SQL") {
     GraftExtensions.install(spark)
     spark.createDataset(Seq("alpha beta gamma delta epsilon"))

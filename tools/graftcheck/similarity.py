@@ -144,20 +144,22 @@ def train_centroids(sample, k, iters=8):
     dim = len(sample[0])
     n = len(sample)
     cents = [[float(x) for x in sample[0]]]
+    # incremental k-center greedy (same running min as a full rescan →
+    # bit-identical centroids, mirrors Similarity.trainCentroids)
+    min_dist = [float("inf")] * n
     while len(cents) < min(k, n):
+        newest = cents[-1]
         best_idx, best_dist = 0, -1.0
         for i in range(n):
-            nearest = float("inf")
             si = sample[i]
-            for c in cents:
-                d = 0.0
-                for j in range(dim):
-                    t = float(si[j]) - c[j]
-                    d += t * t
-                if d < nearest:
-                    nearest = d
-            if nearest > best_dist:
-                best_dist, best_idx = nearest, i
+            d = 0.0
+            for j in range(dim):
+                t = float(si[j]) - newest[j]
+                d += t * t
+            if d < min_dist[i]:
+                min_dist[i] = d
+            if min_dist[i] > best_dist:
+                best_dist, best_idx = min_dist[i], i
         cents.append([float(x) for x in sample[best_idx]])
     for _ in range(iters):
         sums = [[0.0] * dim for _ in cents]
