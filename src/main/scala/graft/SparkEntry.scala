@@ -247,6 +247,18 @@ object SparkEntry {
           countDistinct(TextOps.fingerprint(col("text"))).as("n_distinct_fp"))
     }),
 
+    // char-trigram LM perplexity as a quality-scoring column (the KenLM
+    // analogue of the north star) — model-driven, rows-only, recomputed
+    // bit-for-bit by the Python crosscheck
+    "q46_perplexity" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ppl", TextOps.perplexityUdf(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("ppl")), 3).as("avg_ppl"),
+          sum(when(col("ppl") > 20.0, 1L).otherwise(0L)).as("n_high_ppl"))
+    }),
+
     // langid over documents — model-driven, not SQL-expressible (rows-only)
     "q17_langid_docs" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -97,6 +97,19 @@ object TextOps {
     }
   }
 
+  /** Char-trigram LM perplexity as a column — the pipeline's quality model
+    * (graft.ppl.NgramLM, the KenLM-style scoring tier) exposed as a
+    * reusable scoring op over any text column. The model rides the
+    * closure: one copy per executor, broadcast-equivalent. Null → 0.0
+    * (the pipeline's empty-content convention).
+    */
+  def perplexityUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val model = graft.ppl.NgramLM.model
+    udf { (text: String) =>
+      if (text == null) 0.0 else graft.ppl.NgramLM.perplexity(text, model)
+    }
+  }
+
   /** Composite quality-score columns for a documents table. */
   def withQualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -37,6 +37,25 @@ object StreamingStats {
         col("window.end").as("window_end"),
         col("files"), col("kept"), col("withPii"), col("errors"))
 
+  /** Streaming gap-based sessionization — the streaming twin of
+    * `graft.ops.Sessionize` (the batch q45 operator): Spark's native
+    * `session_window` merges events within `gapDuration` of each other
+    * into one growing window per key. In append mode a session is emitted
+    * exactly ONCE, when the watermark passes its close (start + gap past
+    * the last event), and its state is evicted — so state is bounded by
+    * the number of OPEN sessions, independent of stream length.
+    */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+      gapDuration: String = "30 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gapDuration))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming exact dedup: keep the FIRST row seen per key across micro-
     * batches. Custom state (one Boolean per key) via flatMapGroupsWithState.
     * UNBOUNDED state — one entry per distinct key forever: only for key

@@ -152,12 +152,17 @@ object NewOpsScaleBench {
     val nAll = vecs.count()
     val nPlantedVecs = nAll - nVecs
 
+    // k scales with N (SemDeDup's own knob: cells ≈ N / target-cell-size).
+    // A first run with k=1024 FIXED at 1.1M vecs measured plantedRecall
+    // 0.31: skewed cells blew past the 4096-width guard and their mass was
+    // exempted — exactly the failure mode the guard exists to surface.
+    val kCells = math.max(16, (nAll / 500).toInt)
     measure("semantic_dedup", nAll) {
       val kept = Similarity.semanticDedup(vecs, minCosine = 0.95,
-        nCentroids = 1024, sampleSize = 2000).count()
+        nCentroids = kCells, sampleSize = math.max(2000, 4 * kCells)).count()
       val dropped = nAll - kept
       // a variant survives only if k-means separates it from its base
-      s""""planted":$nPlantedVecs,"dropped":$dropped,"plantedRecall":${dropped.toDouble / nPlantedVecs}"""
+      s""""nCentroids":$kCells,"planted":$nPlantedVecs,"dropped":$dropped,"plantedRecall":${dropped.toDouble / nPlantedVecs}"""
     }
 
     // ------------------------------------------------------------------

@@ -165,6 +165,19 @@ class AsOfDecontamSpec extends AnyFunSuite {
       s"got $sess")
   }
 
+  test("perplexity column op equals the direct NgramLM call; null maps to 0") {
+    val texts = Seq("def foo(x):\n    return x + 1\n",
+      "the quick brown fox", "zzqx vvkj qqpl")
+    val df = texts.toDF("text")
+      .withColumn("ppl", TextOps.perplexityUdf(col("text")))
+    val got = df.select("ppl").as[Double].collect()
+    val want = texts.map(graft.ppl.NgramLM.perplexity)
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextOps.perplexityUdf(col("text"))).as[Double].head()
+    assert(n == 0.0)
+  }
+
   test("repetition signals catch a pathologically repetitive doc") {
     val docs = Seq(
       (1L, Array.fill(50)("spam ham").mkString(" ")),

@@ -59,6 +59,38 @@ class StreamingStatsSpec extends AnyFunSuite {
     assert(rows.contains(("2026-01-01 10:03:00.0", 1L, 1L, 0L, 0L)))
   }
 
+  test("streaming sessionization: gap-merged sessions emitted once on close") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("user", "ts")
+    val q = StreamingStats.sessionStats(df, "user", "ts",
+        gapDuration = "5 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessstats")
+      .outputMode(OutputMode.Append()).start()
+
+    // session A: 10:00 + 10:03 merge (gap < 5m) → closes at 10:08
+    in.addData(("u1", ts("10:00:00")), ("u1", ts("10:03:00")))
+    q.processAllAvailable()
+    // batch 2 starts session B at 10:20; watermark advances to 10:19,
+    // which passes session A's close → A emitted with BOTH events merged
+    in.addData(("u1", ts("10:20:00")))
+    q.processAllAvailable()
+    // advance the watermark past session B's close (10:25)
+    in.addData(("u1", ts("10:40:00")))
+    q.processAllAvailable()
+    in.addData(("u1", ts("11:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessstats").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(rows.contains(("u1", "2026-01-01 10:00:00.0", "2026-01-01 10:08:00.0", 2L)),
+      s"merged session A missing: $rows")
+    assert(rows.contains(("u1", "2026-01-01 10:20:00.0", "2026-01-01 10:25:00.0", 1L)),
+      s"session B missing: $rows")
+  }
+
   test("firstSeen: one row per key survives across micro-batches (stateful dedup)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Int)]

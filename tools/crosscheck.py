@@ -22,7 +22,7 @@ import duckdb
 
 from graftcheck import dedup, fixtures, multimodal, pipeline, prepare, similarity, tagged
 from graftcheck.dedup import round_half_up
-from graftcheck.langmodels import langid_model
+from graftcheck.langmodels import langid_model, lm_model
 
 FLOAT_TOL = 1e-9
 
@@ -58,6 +58,22 @@ def q17(docs):
     cols = ["lang", "pred_lang", "n", "avg_conf"]
     rows = [(k[0], k[1], n, round_half_up(s / n, 3)) for k, (n, s) in groups.items()]
     return cols, rows
+
+
+def q46(docs):
+    """Mirror of SparkEntry q46: per-lang perplexity stats (bit-exact LM)."""
+    m = lm_model()
+    groups = {}
+    for _id, text, lang, _src, _n in docs:
+        p = m.perplexity(text)
+        g = groups.setdefault(lang, [0, 0.0, 0])
+        g[0] += 1
+        g[1] += p
+        if p > 20.0:
+            g[2] += 1
+    cols = ["lang", "n_docs", "avg_ppl", "n_high_ppl"]
+    return cols, [(l, g[0], round_half_up(g[1] / g[0], 3), g[2])
+                  for l, g in groups.items()]
 
 
 def _sigs(docs):
@@ -447,6 +463,7 @@ def main():
 
     builders = {
         "q17_langid_docs": lambda: q17(docs),
+        "q46_perplexity": lambda: q46(docs),
         "q18_minhash_bands": lambda: q18(docs, sigs),
         "q19_neardup_candidates": lambda: q19(docs),
         "q19b_neardup_dedup": lambda: q19b(docs),
