@@ -132,6 +132,21 @@ object GoldenDump {
     }.mkString(","))
     sb.append("],\n")
 
+    // --- cosine kernel (CosineSimExpr, float32 inputs / f64 folds) --------
+    def gvec(seed: Long): Array[Float] = {
+      val r = new java.util.SplittableRandom(Hashing.splitmix64(seed))
+      Array.fill(64)(r.nextDouble().toFloat * 2f - 1f)
+    }
+    val cosPairs = Seq((0L, 1L), (2L, 3L), (4L, 4L), (5L, 6L), (7L, 8L))
+    sb.append("\"cosine_pairs\": [")
+    sb.append(cosPairs.map { case (a, b) =>
+      val c = graft.functions.CosineSimExpr.compute(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(gvec(a)),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(gvec(b)))
+      s"""{"a": $a, "b": $b, "cos": $c}"""
+    }.mkString(","))
+    sb.append("],\n")
+
     // --- minhash / simhash ------------------------------------------------
     val mh = graft.ops.Dedup.minhashSignature("the quick brown fox jumps over the lazy dog")
     sb.append(s""""minhash_fox": [${mh.mkString(",")}],\n""")

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Seeded randomized property checks for the round-3 operators: each op is
+  * compared against an independent brute-force reference implementation on
+  * randomly generated (deterministic seed) inputs — hundreds of cases per
+  * run, covering tie/boundary shapes fixtures might miss.
+  */
+class RandomizedOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("as-of join matches a brute-force range scan on 500 random events") {
+    val rng = new scala.util.Random(1234)
+    val left = (1 to 200).map(i =>
+      (s"u${rng.nextInt(8)}", rng.nextInt(1000).toLong, i.toLong))
+    val right = (1 to 300).map(i =>
+      (s"u${rng.nextInt(8)}", rng.nextInt(1000).toLong, i * 1.5))
+      // as-of requires right unique per (key, ts): keep max value like q42
+      .groupBy(t => (t._1, t._2)).map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }
+      .toSeq
+    val lDf = left.toDF("k", "ts", "lid")
+    val rDf = right.toDF("k", "rts", "rv")
+    val got = AsOf.joinAsOf(lDf, rDf, Seq("k"), "ts", "rts")
+      .select("lid", "rts", "rv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    // brute force: for each left row, the right row with max rts <= ts
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (k, ts, lid) =>
+      val want = byKey.getOrElse(k, Seq.empty).filter(_._2 <= ts)
+        .sortBy(_._2).lastOption.map(t => (t._2, t._3))
+      assert(got(lid) == want, s"lid=$lid k=$k ts=$ts: got ${got(lid)} want $want")
+    }
+  }
+
+  test("sessionize matches a brute-force per-key scan on 400 random events") {
+    val rng = new scala.util.Random(99)
+    val gapMs = 10000L
+    val events = (1 to 400).map(i =>
+      (s"u${rng.nextInt(6)}", new java.sql.Timestamp(1700000000000L + rng.nextInt(200) * 1713L), i.toLong))
+    val df = events.toDF("k", "ts", "eid")
+    val got = Sessionize.sessions(df, Seq("k"), "ts", "eid", gapMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute force: sort per key by (ts, eid), split on gap > gapMs
+    val want = events.groupBy(_._1).flatMap { case (k, evs) =>
+      val sorted = evs.map(e => (e._2.getTime, e._3)).sortBy(identity)
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._1 - acc.head.head._1 > gapMs) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.map(_.reverse).reverse
+      sessions.zipWithIndex.map { case (s, i) =>
+        (k, (i + 1).toLong) -> (s.size.toLong, s.head._1, s.map(_._1).max)
+      }
+    }
+    assert(got.size == want.size, s"session count ${got.size} != ${want.size}")
+    want.foreach { case (key, (n, start, end)) =>
+      val g = got(key)
+      assert(g._1 == n && g._2 == start && g._3 == end,
+        s"$key: got $g want ($n, $start, $end)")
+    }
+  }
+
+  test("decontamination matches a brute-force n-gram set intersection on random docs") {
+    val rng = new scala.util.Random(7)
+    def doc(): String = (1 to (5 + rng.nextInt(20))).map(_ => s"w${rng.nextInt(30)}").mkString(" ")
+    val benchmark = (1 to 10).map(i => (i.toLong, doc()))
+    val corpus = (100 to 200).map(i => (i.toLong, doc()))
+    val n = 4
+    val got = Decontam.contaminationReport(
+        corpus.toDF("doc_id", "text"), benchmark.toDF("doc_id", "text"),
+        "text", "doc_id", n = n)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlapping_ngrams")).toMap
+    def grams(t: String): Set[String] =
+      t.split("\\s+").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val benchGrams = benchmark.flatMap(b => grams(b._2)).toSet
+    corpus.foreach { case (id, t) =>
+      val overlap = grams(t).count(benchGrams.contains)
+      assert(got.getOrElse(id, 0L) == overlap.toLong,
+        s"doc $id: got ${got.getOrElse(id, 0L)} want $overlap")
+    }
+  }
+
+  test("weighted sample rates converge and respect the per-source thresholds") {
+    val docs = (1L to 20000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("s0" -> 0.9, "s1" -> 0.5, "s2" -> 0.1)
+    val kept = Mixing.weightedSample(docs, "doc_id", "source", rates, defaultRate = 0.02)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def check(src: String, rate: Double): Unit = {
+      val n = kept.getOrElse(src, 0L).toDouble / 5000.0
+      assert(math.abs(n - rate) < 0.05, s"$src: kept frac $n vs rate $rate")
+    }
+    check("s0", 0.9); check("s1", 0.5); check("s2", 0.1); check("s3", 0.02)
+  }
+}

@@ -103,6 +103,22 @@ def main():
     assert H.i64(dedup.simhash64(fox)) == g["simhash_fox"]
     checks += 2
 
+    if "cosine_pairs" in g:  # native CosineSimExpr vs the python fold
+        import struct
+        from graftcheck import similarity
+
+        def f32(x):
+            return struct.unpack("f", struct.pack("f", x))[0]
+
+        def gvec(seed):
+            r = SplittableRandom(H.i64(H.splitmix64(seed)))
+            return [f32(f32(r.next_double()) * 2.0 - 1.0) for _ in range(64)]
+
+        for case in g["cosine_pairs"]:
+            got = similarity.cosine(gvec(case["a"]), gvec(case["b"]))
+            assert got == case["cos"], f"cosine {case}: python {got}"
+            checks += 1
+
     print(f"graftcheck selftest: {checks} golden checks, all bit-exact")
 
 
