@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
     ext.injectFunction(GraftExtensions.minhashSignatureDescriptor)
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
   }
 }
 
@@ -39,9 +41,26 @@ object GraftExtensions {
       MinHashSignatureExpr(children.head)
     })
 
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_sim takes exactly two arguments")
+      CosineSimExpr(children.head, children(1))
+    })
+
+  val sigAgreementDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sig_agreement"),
+    new ExpressionInfo(classOf[SigAgreementExpr].getName, "sig_agreement"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "sig_agreement takes exactly two arguments")
+      SigAgreementExpr(children.head, children(1))
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(rollingFingerprintDescriptor, minhashSignatureDescriptor).foreach {
+    Seq(rollingFingerprintDescriptor, minhashSignatureDescriptor,
+      cosineSimDescriptor, sigAgreementDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

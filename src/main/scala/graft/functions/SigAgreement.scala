@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native Catalyst expression for MinHash signature agreement — the
+  * fraction of equal components between two `array<bigint>` signatures,
+  * i.e. the MinHash estimate of Jaccard similarity. Runs once per LSH
+  * candidate pair in every near-dup operator (graft.ops.Dedup), where it
+  * replaced a Scala UDF that paid Seq[Long] boxing per pair.
+  *
+  * Result is `eqCount / length` computed exactly like the UDF it
+  * replaced (and like the Python crosscheck port `dedup.est_jaccard`),
+  * so values are bit-identical. Lengths are fixed (64) by construction;
+  * for safety the comparison runs over the shorter length with the
+  * division by the LEFT length, matching the UDF's `x.length` divisor.
+  */
+case class SigAgreementExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_agreement requires two array<bigint> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_agreement"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreementExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SigAgreementExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreementExpr {
+
+  /** Static so generated code calls it directly. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val nA = a.numElements()
+    val n = math.min(nA, b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    if (nA == 0) 0.0 else eq.toDouble / nA
+  }
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def sig_agreement(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreementExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -198,15 +198,13 @@ object Dedup {
       minJaccard: Double = 0.7,
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
     val cands = candidatePairsFromSigs(sigs, idCol, maxBucketWidth)
-    val estJaccard = udf { (x: Seq[Long], y: Seq[Long]) =>
-      var eq = 0; var i = 0
-      while (i < x.length) { if (x(i) == y(i)) eq += 1; i += 1 }
-      eq.toDouble / x.length
-    }
     cands
       .join(sigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sigA"), Seq("a"))
       .join(sigs.withColumnRenamed(idCol, "b").withColumnRenamed("sig", "sigB"), Seq("b"))
-      .withColumn("est_jaccard", estJaccard(col("sigA"), col("sigB")))
+      // native codegen expression (was a Scala UDF boxing two Seq[Long]
+      // per candidate pair) — values bit-identical, pinned by spec
+      .withColumn("est_jaccard",
+        graft.functions.SigAgreementExpr.sig_agreement(col("sigA"), col("sigB")))
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

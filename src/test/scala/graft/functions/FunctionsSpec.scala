@@ -96,6 +96,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("native sig_agreement equals the UDF formulation it replaced, stays in codegen") {
+    val estJaccardUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      var eq = 0; var i = 0
+      while (i < x.length) { if (x(i) == y(i)) eq += 1; i += 1 }
+      eq.toDouble / x.length
+    }
+    val docs = spark.range(40)
+      .select(concat(lit("text body number "), col("id"),
+        lit(" with shared prefix words")).as("t1"),
+        concat(lit("text body number "), (col("id") + (col("id") % 3)),
+          lit(" with shared prefix words")).as("t2"))
+      .select(MinHashSignatureExpr.minhash_signature(col("t1")).as("s1"),
+        MinHashSignatureExpr.minhash_signature(col("t2")).as("s2"))
+    val rows = docs.select(
+      SigAgreementExpr.sig_agreement(col("s1"), col("s2")).as("native"),
+      estJaccardUdf(col("s1"), col("s2")).as("viaUdf")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    val plan = docs.select(SigAgreementExpr.sig_agreement(col("s1"), col("s2")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sig_agreement") && plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("SQL registration: minhash_signature callable from SQL") {
     GraftExtensions.install(spark)
     spark.createDataset(Seq("alpha beta gamma delta epsilon"))
@@ -103,6 +125,18 @@ class FunctionsSpec extends AnyFunSuite {
     val got = spark.sql("SELECT size(minhash_signature(text)) AS n FROM mh_test")
       .as[Int].head()
     assert(got == 64)
+  }
+
+  test("SQL registration: cosine_sim and sig_agreement callable from SQL") {
+    GraftExtensions.install(spark)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))," +
+        " array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").as[Double].head()
+    assert(cos == 1.0)
+    val agree = spark.sql(
+      "SELECT sig_agreement(array(1L, 2L, 3L, 4L), array(1L, 2L, 9L, 4L)) AS a")
+      .as[Double].head()
+    assert(agree == 0.75)
   }
 
   test("model artifacts: save/load round-trip, stringified id2label keys, required-file check") {
