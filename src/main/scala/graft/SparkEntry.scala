@@ -227,7 +227,8 @@ object SparkEntry {
     }),
 
     // Gopher-style repetition filters: duplicate-token fraction (narrow,
-    // codegen'd) + top-bigram fraction (one exploded partial-agg pass)
+    // codegen'd) + top-bigram fraction (native BigramTopExpr, row-local —
+    // the whole op is one narrow projection, zero shuffles)
     "q41_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("text"), col("source"))

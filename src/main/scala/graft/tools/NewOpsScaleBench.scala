@@ -131,9 +131,13 @@ object NewOpsScaleBench {
     val nPlantedRep = docs
       .filter(col("doc_id") % 997 === 0 && col("doc_id") % 101 =!= 0).count()
     measure("repetition_signals", nDocs) {
-      val n = TextOps.withRepetitionSignals(docs)
-        .filter(col("dup_token_frac") > 0.45).count()
-      s""""plantedRepetitive":$nPlantedRep,"flaggedRepetitive":$n"""
+      // reference BOTH signals: an earlier form counted only
+      // dup_token_frac and Catalyst (correctly) pruned the whole bigram
+      // join out of the plan — measuring the narrow column alone
+      val r = TextOps.withRepetitionSignals(docs)
+        .agg(sum(when(col("dup_token_frac") > 0.45, 1L).otherwise(0L)).as("flagged"),
+          max(col("top_bigram_frac")).as("maxTop")).head()
+      f""""plantedRepetitive":$nPlantedRep,"flaggedRepetitive":${r.getLong(0)},"maxTopBigram":${r.getDouble(1)}%.3f"""
     }
 
     // ------------------------------------------------------------------

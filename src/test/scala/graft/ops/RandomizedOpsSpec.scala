@@ -87,6 +87,26 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals match a brute-force string-based count on 300 random docs") {
+    val rng = new scala.util.Random(55)
+    val docs = (1 to 300).map { i =>
+      val n = rng.nextInt(40) // includes 0- and 1-token docs
+      (i.toLong, (1 to n).map(_ => s"t${rng.nextInt(8)}").mkString(" "))
+    }
+    val got = TextOps.withRepetitionSignals(docs.toDF("doc_id", "text"))
+      .select("doc_id", "dup_token_frac", "top_bigram_frac").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = if (text.trim.isEmpty) Array.empty[String] else text.trim.split("\\s+")
+      val dup = if (toks.isEmpty) 0.0 else 1.0 - toks.distinct.length.toDouble / toks.length
+      val top = if (toks.length < 2) 0.0 else {
+        val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+      }
+      assert(got(id) == (dup, top), s"doc $id '$text': got ${got(id)} want ($dup, $top)")
+    }
+  }
+
   test("weighted sample rates converge and respect the per-source thresholds") {
     val docs = (1L to 20000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
     val rates = Map("s0" -> 0.9, "s1" -> 0.5, "s2" -> 0.1)
