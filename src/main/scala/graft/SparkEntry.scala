@@ -430,6 +430,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), round(avg(col("n_chars")), 2).as("avg_chars"))
     }),
 
+    // token-budget corpus mixing: each source downsampled so its expected
+    // kept-token count matches its budget — rates derived in-plan from one
+    // aggregation, keep decision is the deterministic hash draw
+    "q47_token_budget_sample" -> ((s, dir) => {
+      Mixing.sampleToTokenBudgets(t(s, dir, "documents"), "doc_id", "source", "text",
+          budgets = Map("src0" -> 1000000L, "src1" -> 800L, "src2" -> 300L),
+          defaultBudget = 150L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextOps.tokenCount(col("text"))).as("kept_tokens"))
+    }),
+
     // =================================================================
     // Windows / time
     // =================================================================
@@ -838,6 +850,26 @@ object SparkEntry {
                 WHEN 'src2' THEN '8000' WHEN 'src3' THEN '4000'
                 ELSE '2000' END
          GROUP BY source""",
+
+    "q47_token_budget_sample" ->
+      """WITH tok AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+           FROM documents),
+         tot AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS total FROM tok GROUP BY source),
+         thr AS (SELECT source,
+             CASE WHEN source = 'src0' THEN 1000000
+                  WHEN source = 'src1' THEN 800
+                  WHEN source = 'src2' THEN 300 ELSE 150 END AS budget, total
+           FROM tot),
+         thr2 AS (SELECT source,
+             CASE WHEN CAST(budget AS DOUBLE) / total >= 1.0 THEN 'zzzz'
+                  ELSE printf('%04x', CAST(floor(CAST(budget AS DOUBLE) / total * 65536.0) AS BIGINT)) END AS threshold
+           FROM thr)
+         SELECT t.source, count(*) AS n_kept, CAST(sum(t.n_tok) AS BIGINT) AS kept_tokens
+         FROM tok t JOIN thr2 USING (source)
+         WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < threshold
+         GROUP BY t.source""",
 
     "q45_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,

@@ -47,4 +47,39 @@ object Mixing {
   def weightedSample(df: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame =
     df.filter(keepPredicate(col(idCol), col(sourceCol), rates, defaultRate))
+
+  /** Token-budget sampling — the actual shape of a training-data recipe:
+    * each source is downsampled so its EXPECTED kept token count matches
+    * its budget (sources under budget are kept whole; rates never exceed
+    * 1). The per-source rate is `budget / totalTokens`, derived inside the
+    * plan: one aggregation over the corpus produces the tiny per-source
+    * totals table, which broadcast-joins back onto the rows, and the keep
+    * decision is the same deterministic hash-threshold draw as
+    * [[weightedSample]] (threshold = floor(rate·65536) as a 4-hex-digit
+    * string, built identically by any engine — oracle-checked, q47).
+    *
+    * Scale shape: two passes over the corpus (one partial-agg count, one
+    * filter), a broadcast of |sources| rows, no other shuffle. Sampling is
+    * expectation-based (each row is an independent keep), so kept tokens
+    * concentrate around the budget with relative error ~1/√n-kept — the
+    * right behaviour for corpus mixing, where budgets are targets, not
+    * hard caps.
+    */
+  def sampleToTokenBudgets(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(TextOps.tokenCount(col(textCol))).as("__total_tokens"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (src, b)) =>
+      when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
+    val rate = budget.cast("double") / col("__total_tokens").cast("double")
+    // 4-hex-digit threshold, formatted identically in Spark and DuckDB:
+    // lower(lpad(hex(floor(rate*65536)),4,'0')) == printf('%04x', ...)
+    val threshold = when(rate >= 1.0, lit("zzzz"))
+      .otherwise(lower(lpad(hex(floor(rate * 65536.0)), 4, "0")))
+    df.join(broadcast(totals), Seq(sourceCol))
+      .filter(hashDraw(col(idCol)) < threshold)
+      .drop("__total_tokens")
+  }
 }

@@ -107,6 +107,23 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget sampling keeps approximately the budgeted tokens per source") {
+    val rng = new scala.util.Random(321)
+    val docs = (1L to 6000L).map { i =>
+      val src = s"s${i % 3}"
+      (i, src, (1 to 5 + rng.nextInt(10)).map(_ => "tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // each source: 2000 docs × ~9.5 tokens ≈ 19k tokens
+    val kept = Mixing.sampleToTokenBudgets(docs, "doc_id", "source", "text",
+        budgets = Map("s0" -> 5000L, "s1" -> 1000000L), defaultBudget = 2000L)
+      .groupBy("source")
+      .agg(sum(TextOps.tokenCount(col("text"))).as("tokens"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(math.abs(kept("s0")._1 - 5000L) < 1500, s"s0 tokens ${kept("s0")}")
+    assert(kept("s1")._2 == 2000L, s"s1 must keep ALL docs (budget over total): ${kept("s1")}")
+    assert(math.abs(kept("s2")._1 - 2000L) < 900, s"s2 (default budget) tokens ${kept("s2")}")
+  }
+
   test("weighted sample rates converge and respect the per-source thresholds") {
     val docs = (1L to 20000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
     val rates = Map("s0" -> 0.9, "s1" -> 0.5, "s2" -> 0.1)
