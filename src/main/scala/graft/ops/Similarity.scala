@@ -297,20 +297,40 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, minCosine: Double,
       nCentroids: Int = 16, sampleSize: Int = 2000, maxCellWidth: Int = 4096,
+      nProbe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     semanticDedupWithCentroids(emb, minCosine,
       trainIvfCentroids(emb, nCentroids, sampleSize, idCol, vecCol),
-      maxCellWidth, idCol, vecCol)
+      maxCellWidth, nProbe, idCol, vecCol)
 
-  /** Semantic dedup against a pre-trained (or loaded) centroid table. */
+  /** Semantic dedup against a pre-trained (or loaded) centroid table.
+    *
+    * `nProbe` is the recall dial: each vector is indexed under its
+    * `nProbe` nearest cells (explode into the same one cell-keyed
+    * shuffle), so two near-identical vectors split by a cell boundary
+    * still become a candidate pair when any probed cell is shared. The
+    * drop set is MONOTONE in nProbe (more probes → superset of candidate
+    * pairs, deduped by the pair-level distinct; pinned by spec). Cost is
+    * ≥nProbe² in pair cosines — and MORE under cell skew, since doubling
+    * every cell's membership amplifies the big cells quadratically:
+    * measured at 1.1M vectors (BENCH.md), p2 buys recall 0.804 → 0.854
+    * at 8.6× the time. nProbe=1 is the SemDeDup paper's single-assignment
+    * form and the right default; for recall beyond ~0.85 prefer
+    * [[embeddingNearDups]] (OR-amplified sign-LSH) over raising nProbe.
+    */
   def semanticDedupWithCentroids(emb: DataFrame, minCosine: Double,
       centroids: Array[Array[Double]], maxCellWidth: Int = 4096,
+      nProbe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val bc = emb.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) =>
-      if (v == null) -1 else nearestCentroid(v.toArray, bc.value)
+      if (v == null) Seq.empty[Int]
+      else if (nProbe == 1) Seq(nearestCentroid(v.toArray, bc.value))
+      else nearestCentroids(v.toArray, bc.value, nProbe)
     }
-    val cells = emb.select(col(idCol), col(vecCol), assignUdf(col(vecCol)).as("cell"))
+    val cells = emb.select(col(idCol), col(vecCol),
+      explode(assignUdf(col(vecCol))).as("cell"))
     // cell width via window count over the same shuffle the self-join reuses
     val w = Window.partitionBy(col("cell"))
     val pruned = cells.withColumn("__w", count(lit(1)).over(w))

@@ -161,12 +161,16 @@ object NewOpsScaleBench {
     // 0.31: skewed cells blew past the 4096-width guard and their mass was
     // exempted — exactly the failure mode the guard exists to surface.
     val kCells = math.max(16, (nAll / 500).toInt)
-    measure("semantic_dedup", nAll) {
-      val kept = Similarity.semanticDedup(vecs, minCosine = 0.95,
-        nCentroids = kCells, sampleSize = math.max(2000, 4 * kCells)).count()
-      val dropped = nAll - kept
-      // a variant survives only if k-means separates it from its base
-      s""""nCentroids":$kCells,"planted":$nPlantedVecs,"dropped":$dropped,"plantedRecall":${dropped.toDouble / nPlantedVecs}"""
+    val cents = Similarity.trainIvfCentroids(vecs, kCells,
+      sampleSize = math.max(2000, 4 * kCells))
+    for (nProbe <- Seq(1, 2)) {
+      measure(s"semantic_dedup_p$nProbe", nAll) {
+        val kept = Similarity.semanticDedupWithCentroids(vecs, minCosine = 0.95,
+          centroids = cents, nProbe = nProbe).count()
+        val dropped = nAll - kept
+        // a variant survives only if clustering separates it from its base
+        s""""nCentroids":$kCells,"planted":$nPlantedVecs,"dropped":$dropped,"plantedRecall":${dropped.toDouble / nPlantedVecs}"""
+      }
     }
 
     // ------------------------------------------------------------------

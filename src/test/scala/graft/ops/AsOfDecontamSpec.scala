@@ -115,6 +115,25 @@ class AsOfDecontamSpec extends AnyFunSuite {
       s"distinct vectors must survive: $kept")
   }
 
+  test("semantic dedup drops are monotone in nProbe (multi-probe recovers boundary splits)") {
+    val rng = new scala.util.Random(777)
+    val base = (1L to 300L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val variants = base.filter(_._1 % 3 == 0).map { case (i, v) =>
+      (i + 1000L, v.updated(15, 0.0f))
+    }
+    val emb = (base ++ variants).toDF("vec_id", "embedding")
+    def dropped(nProbe: Int): Set[Long] = {
+      val kept = Similarity.semanticDedup(emb, minCosine = 0.95,
+        nCentroids = 32, sampleSize = 400, nProbe = nProbe)
+        .select("vec_id").as[Long].collect().toSet
+      (base ++ variants).map(_._1).toSet -- kept
+    }
+    val d1 = dropped(1)
+    val d2 = dropped(2)
+    assert(d1.subsetOf(d2), s"nProbe=2 must drop a superset: ${d1 -- d2} missing")
+    assert(d2.size >= d1.size)
+  }
+
   test("semantic dedup exempts cells wider than maxCellWidth (guard, not dedup)") {
     val emb = (1L to 20L).map(i => (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
     // all 20 identical → one cell of width 20 > maxCellWidth=10 → all survive
