@@ -278,7 +278,10 @@ object Dedup {
     * hit first the labels may still be coarser than the true components —
     * logged as a WARNING with the residual changed-count.
     *
-    * Returns (id, rep): rep = min id of the component (singletons included).
+    * Returns (id, rep): rep = min id of the component. Iteration runs over
+    * the edge-induced subgraph only; singletons are glued back (rep = id)
+    * at the end, so per-round cost scales with near-dup graph size, not
+    * corpus size.
     */
   def nearDupClustersFromSigs(df: DataFrame, sigs: DataFrame, idCol: String,
       minJaccard: Double = 0.9, maxIter: Int = 10,
@@ -289,7 +292,13 @@ object Dedup {
       if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
     val pairs = nearDupPairsFromSigs(sigs, idCol, minJaccard).select(col("a"), col("b"))
     val edges = cut(pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))))
-    var labels = cut(df.select(col(idCol).as("id"), col(idCol).as("rep")))
+    // Iterate ONLY over nodes touched by an edge: the near-dup graph is
+    // sparse (most of a deduped corpus is singletons), so every per-round
+    // join/aggregation shrinks from |corpus| rows to the edge-node count.
+    // Untouched docs are singletons by definition and are glued back with
+    // rep = id after convergence.
+    var labels = cut(edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")))
     var it = 0
     var lastChanged = -1L
     while (it < maxIter && lastChanged != 0) {
@@ -317,7 +326,12 @@ object Dedup {
         s"nearDupClusters did NOT converge in $maxIter rounds " +
           s"($lastChanged labels still changing) — components wider than " +
           s"2^$maxIter hops are split; raise maxIter")
-    labels
+    // glue singletons (docs with no near-dup edge) back as their own rep;
+    // the converged label table is tiny relative to the corpus, so AQE
+    // turns this into a broadcast join at scale
+    df.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("rep", "__rep"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
   }
 
   /** Chunk-level exact-substring duplication (the granular tier below
