@@ -442,6 +442,25 @@ object SparkEntry {
           sum(TextOps.tokenCount(col("text"))).as("kept_tokens"))
     }),
 
+    // the LM-training aggregation shape (graft.ppl.LMTrainer): corpus-wide
+    // char-trigram counts — explode is pipelined into hash partial
+    // aggregation whose key cardinality is bounded by the alphabet, so the
+    // shuffle is O(distinct trigrams), never O(corpus). Top-20 with a total
+    // deterministic order. Pure native plan (no UDF), DuckDB-oracle-checked;
+    // the trainer itself is pinned by LMTrainerSpec.
+    "q48_trigram_counts" -> ((s, dir) => {
+      val lt = lower(col("text")).as("lt")
+      t(s, dir, "documents")
+        .select(lt)
+        .filter(length(col("lt")) >= 3)
+        .select(col("lt"), explode(sequence(lit(1), length(col("lt")) - 2)).as("i"))
+        .select(col("lt").substr(col("i"), lit(3)).as("tri"))
+        .groupBy(col("tri"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tri").asc)
+        .limit(20)
+    }),
+
     // =================================================================
     // Windows / time
     // =================================================================
@@ -870,6 +889,16 @@ object SparkEntry {
          FROM tok t JOIN thr2 USING (source)
          WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < threshold
          GROUP BY t.source""",
+
+    "q48_trigram_counts" ->
+      """SELECT tri, cnt FROM (
+           SELECT substring(d.lt, g.i, 3) AS tri, count(*) AS cnt
+           FROM (SELECT lower(text) AS lt FROM documents
+                 WHERE length(lower(text)) >= 3) d,
+                unnest(generate_series(1, length(d.lt) - 2)) AS g(i)
+           GROUP BY 1)
+         ORDER BY cnt DESC, tri
+         LIMIT 20""",
 
     "q45_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,

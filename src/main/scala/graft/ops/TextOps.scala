@@ -103,12 +103,18 @@ object TextOps {
     * closure: one copy per executor, broadcast-equivalent. Null → 0.0
     * (the pipeline's empty-content convention).
     */
-  def perplexityUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val model = graft.ppl.NgramLM.model
+  def perplexityUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    perplexityUdf(graft.ppl.NgramLM.model)
+
+  /** Perplexity against an explicit model — e.g. one trained on the
+    * pipeline's own corpus via [[graft.ppl.LMTrainer.trainFromCorpus]]
+    * (domain-adapted quality scoring). Same closure-shipped, one copy
+    * per executor shape.
+    */
+  def perplexityUdf(model: graft.ppl.NgramLM.Model): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       if (text == null) 0.0 else graft.ppl.NgramLM.perplexity(text, model)
     }
-  }
 
   /** Composite quality-score columns for a documents table. */
   def withQualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -29,15 +29,15 @@ object NgramLM {
     * identifiers: letters→lowercased letter, digits→'9', whitespace→' ',
     * everything else kept (punctuation structure is the code signal).
     */
-  @inline private def cls(c: Char): Char =
+  @inline private[graft] def cls(c: Char): Char =
     if (c.isLetter) c.toLower
     else if (c.isDigit) '9'
     else if (c.isWhitespace) ' '
     else if (c < 128) c
     else '\u00ff' // all non-ascii collapses to one class
 
-  @inline private def key2(a: Char, b: Char): Long = (a.toLong << 16) | b.toLong
-  @inline private def key3(a: Char, b: Char, c: Char): Long =
+  @inline private[graft] def key2(a: Char, b: Char): Long = (a.toLong << 16) | b.toLong
+  @inline private[graft] def key3(a: Char, b: Char, c: Char): Long =
     (a.toLong << 32) | (b.toLong << 16) | c.toLong
 
   lazy val model: Model = {

@@ -45,6 +45,15 @@ final class LongIntMap(initialCapacity: Int) extends Serializable {
 
   def size: Int = used
 
+  /** Visit every (key, value) pair, in internal (unspecified) order. */
+  def foreachEntry(f: (Long, Int) => Unit): Unit = {
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) != 0L) f(keys(i), vals(i))
+      i += 1
+    }
+  }
+
   private def grow(): Unit = {
     val ok = keys; val ov = vals
     capacity <<= 1; mask = capacity - 1

@@ -1,0 +1,95 @@
+package graft.ppl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Pins the distributed LM trainer against an INDEPENDENT sequential
+  * reference (its own class mapping and counting loop, not the code under
+  * test), and its determinism across parallelism levels.
+  */
+class LMTrainerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // independent re-implementation of the class alphabet + per-doc counts
+  private def refCls(c: Char): Char =
+    if (c.isLetter) c.toLower
+    else if (c.isDigit) '9'
+    else if (c.isWhitespace) ' '
+    else if (c < 128) c
+    else 'ÿ'
+
+  private def refCounts(docs: Seq[String]): (Map[(Char, Char, Char), Int], Map[(Char, Char), Int], Set[Char]) = {
+    val tri = scala.collection.mutable.Map[(Char, Char, Char), Int]().withDefaultValue(0)
+    val bi = scala.collection.mutable.Map[(Char, Char), Int]().withDefaultValue(0)
+    val vocab = scala.collection.mutable.Set[Char]()
+    docs.foreach { d =>
+      val t = d.map(refCls)
+      t.foreach(vocab += _)
+      t.sliding(2).filter(_.length == 2).foreach(s => bi((s(0), s(1))) += 1)
+      t.sliding(3).filter(_.length == 3).foreach(s => tri((s(0), s(1), s(2))) += 1)
+    }
+    (tri.toMap, bi.toMap, vocab.toSet)
+  }
+
+  private val docs = Seq(
+    "def foo(x): return x + 41",
+    "The quick brown fox jumps over the lazy dog 123 times.",
+    "aaa aaa aaa aaa", // repetitive: exercises per-doc pre-aggregation
+    "ab", // shorter than a trigram: bigram + unigrams only
+    "x", // single char
+    "café üñí" // non-ascii collapses to one class
+  )
+
+  test("trainFromCorpus matches an independent sequential reference exactly") {
+    val (refTri, refBi, refVocab) = refCounts(docs)
+    val m = LMTrainer.trainFromCorpus(docs.toDF("text"), "text")
+
+    assert(m.vocabSize == refVocab.size)
+    refTri.foreach { case ((a, b, c), n) =>
+      assert(m.tri.get(NgramLM.key3(a, b, c)) == n, s"tri ($a,$b,$c)")
+    }
+    refBi.foreach { case ((a, b), n) =>
+      assert(m.bi.get(NgramLM.key2(a, b)) == n, s"bi ($a,$b)")
+    }
+    assert(m.tri.size == refTri.size, "no extra trigram keys")
+    assert(m.bi.size == refBi.size, "no extra bigram keys")
+  }
+
+  test("counts never cross document boundaries") {
+    // "xy" + "zw" as two docs: bigram (y,z) must NOT exist
+    val m = LMTrainer.trainFromCorpus(Seq("xy", "zw").toDF("text"), "text")
+    assert(m.bi.get(NgramLM.key2('x', 'y')) == 1)
+    assert(m.bi.get(NgramLM.key2('z', 'w')) == 1)
+    assert(m.bi.get(NgramLM.key2('y', 'z')) == 0)
+  }
+
+  test("model is identical at any parallelism; null rows are ignored") {
+    val base = (docs ++ Seq(null)).toDF("text")
+    val m1 = LMTrainer.trainFromCorpus(base.repartition(1), "text")
+    val m7 = LMTrainer.trainFromCorpus(base.repartition(7), "text")
+    assert(m1.vocabSize == m7.vocabSize)
+    var same = true
+    m1.tri.foreachEntry { (k, v) => if (m7.tri.get(k) != v) same = false }
+    m7.tri.foreachEntry { (k, v) => if (m1.tri.get(k) != v) same = false }
+    m1.bi.foreachEntry { (k, v) => if (m7.bi.get(k) != v) same = false }
+    assert(same, "tri/bi tables must be partition-order independent")
+  }
+
+  test("corpus-trained model scores via TextOps.perplexityUdf(model)") {
+    val m = LMTrainer.trainFromCorpus(docs.toDF("text"), "text")
+    val scored = Seq("def bar(y): return y + 1", null)
+      .toDF("text")
+      .select(graft.ops.TextOps.perplexityUdf(m)(org.apache.spark.sql.functions.col("text")).as("ppl"))
+      .collect()
+      .map(_.getDouble(0))
+    assert(scored(0) > 0.0 && java.lang.Double.isFinite(scored(0)))
+    assert(scored(1) == 0.0, "null maps to 0 (pipeline empty-content convention)")
+    // in-domain text scores lower than gibberish under the corpus model
+    val g = NgramLM.perplexity("q9@#z!!pXw%%", m)
+    val d = NgramLM.perplexity("def baz(z): return z + 2", m)
+    assert(d < g, s"in-domain $d should beat gibberish $g")
+  }
+}
