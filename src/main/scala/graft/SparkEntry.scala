@@ -316,6 +316,23 @@ object SparkEntry {
         .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // incremental dedup: a new batch (odd ids + planted variants of corpus
+    // docs) against an existing corpus signature store (even ids). The
+    // corpus is touched once via its signatures; planted variants must be
+    // caught, genuinely-new odd docs kept. sum_id pins the exact keep set.
+    "q49_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(corpus.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9marker")).as("text")))
+      Dedup.dropNearDupsAgainst(batch, "text", "doc_id",
+          Dedup.signatures(corpus, "text", "doc_id"), minJaccard = 0.8)
+        .withColumn("is_variant", col("doc_id") >= 1000000L)
+        .groupBy(col("is_variant"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+    }),
+
     "q20_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("simhash", Dedup.simhashUdf(col("text")))

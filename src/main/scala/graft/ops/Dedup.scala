@@ -238,6 +238,77 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup pairs: a NEW batch vs an EXISTING corpus
+    * signature store — the production "dedup today's shard against the
+    * index" shape, where re-running full-corpus dedup per batch would be
+    * O(corpus) daily. The corpus text is never re-read and the corpus is
+    * never shuffled in full: its bucket rows derive from the (persisted
+    * parquet) signature table in one map pass, then are immediately
+    * semi-joined against the BROADCAST batch bucket-key set, so only
+    * corpus rows in a bucket the batch actually probes reach the
+    * width-capped join. The width cap applies per side; a probed bucket
+    * retains ALL its corpus members, so the corpus-side width equals the
+    * full-corpus bucket width and cap semantics match
+    * [[candidatePairsFromSigs]] exactly.
+    *
+    * Id spaces must be disjoint across the two tables (same contract as a
+    * curated store: batch ids are new). Returns
+    * (a = corpus id, b = batch id, est_jaccard).
+    *
+    * `broadcastBatch = false` switches to shuffled joins for a
+    * pathologically large batch (at which point consider unioning into
+    * [[nearDupPairsFromSigs]] instead).
+    */
+  def incrementalNearDupPairs(corpusSigs: DataFrame, batchSigs: DataFrame,
+      idCol: String, minJaccard: Double = 0.7,
+      maxBucketWidth: Int = DefaultMaxBucketWidth,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastBatch) org.apache.spark.sql.functions.broadcast else identity
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val bCap = lshBucketsFromSigs(batchSigs, idCol)
+      .withColumn("__w", count(lit(1)).over(wWin))
+      .filter(col("__w") <= maxBucketWidth)
+      .select(col("band"), col("bucket"), col(idCol).as("b"))
+    val probed = lshBucketsFromSigs(corpusSigs, idCol)
+      .join(bc(bCap.select("band", "bucket").distinct()), Seq("band", "bucket"), "left_semi")
+    val cCap = probed
+      .withColumn("__w", count(lit(1)).over(wWin))
+      .filter(col("__w") <= maxBucketWidth)
+      .select(col("band"), col("bucket"), col(idCol).as("a"))
+    cCap.join(bc(bCap), Seq("band", "bucket"))
+      .select("a", "b").distinct()
+      .join(corpusSigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sigA"), Seq("a"))
+      .join(batchSigs.withColumnRenamed(idCol, "b").withColumnRenamed("sig", "sigB"), Seq("b"))
+      .withColumn("est_jaccard",
+        graft.functions.SigAgreementExpr.sig_agreement(col("sigA"), col("sigB")))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Keep only batch docs with NO near-dup in the existing corpus store.
+    * Against-corpus only by design: intra-batch duplicates are a separate,
+    * composable step ([[dropNearDupsFromSigs]] on the batch alone).
+    * `batchSigs` is referenced twice (bucket branch + estimate join) —
+    * persist it for large batches, same guidance as the FromSigs family.
+    */
+  def dropNearDupsAgainstFromSigs(batch: DataFrame, batchSigs: DataFrame,
+      corpusSigs: DataFrame, idCol: String, minJaccard: Double = 0.9,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
+    val hit = incrementalNearDupPairs(corpusSigs, batchSigs, idCol,
+      minJaccard, maxBucketWidth)
+      .select(col("b").as(idCol)).distinct()
+    batch.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** Convenience form computing batch signatures in-plan. */
+  def dropNearDupsAgainst(batch: DataFrame, textCol: String, idCol: String,
+      corpusSigs: DataFrame, minJaccard: Double = 0.9,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame =
+    dropNearDupsAgainstFromSigs(batch, signatures(batch, textCol, idCol),
+      corpusSigs, idCol, minJaccard, maxBucketWidth)
+
   /** Transitive near-duplicate clusters: connected components of the
     * candidate-pair graph — the policy large dedup pipelines use when greedy
     * pairwise dropping isn't enough (a chain a~b~c with a≁c must still

@@ -128,6 +128,11 @@ object NewOpsScaleBench {
       s""""planted":$nPlantedLeaks,"flagged":$flagged,"exact":${flagged == nPlantedLeaks}"""
     }
 
+    measure("lm_train", nDocs) {
+      val m = graft.ppl.LMTrainer.trainFromCorpus(docs, "text")
+      s""""vocab":${m.vocabSize},"triKeys":${m.tri.size},"biKeys":${m.bi.size}"""
+    }
+
     val nPlantedRep = docs
       .filter(col("doc_id") % 997 === 0 && col("doc_id") % 101 =!= 0).count()
     measure("repetition_signals", nDocs) {

@@ -115,6 +115,56 @@ class AsOfDecontamSpec extends AnyFunSuite {
       s"distinct vectors must survive: $kept")
   }
 
+  // ------------------------------------------------------------------
+  // Incremental dedup (batch vs existing corpus signature store)
+  // ------------------------------------------------------------------
+  test("incremental dedup drops batch docs near-duplicating the corpus, keeps novel ones") {
+    def doc(i: Long, seed: String) =
+      (i, Seq.tabulate(30)(j => s"$seed${j % 7} word$j token${(i % 3) + j}").mkString(" "))
+    val corpus = Seq(doc(2L, "alpha"), doc(4L, "beta"), doc(6L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, corpus.filter($"doc_id" === 2L).head().getString(1) + " zz9"), // near-dup of 2
+      doc(103L, "deltaXXuniqueYY") // genuinely new
+    ).toDF("doc_id", "text")
+    val corpusSigs = Dedup.signatures(corpus, "text", "doc_id")
+    val kept = Dedup.dropNearDupsAgainst(batch, "text", "doc_id", corpusSigs,
+      minJaccard = 0.8).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(103L), s"kept=$kept")
+  }
+
+  test("incremental dedup is against-corpus only: intra-batch dups survive") {
+    val text = Seq.tabulate(40)(j => s"omega$j w${j % 5}").mkString(" ")
+    val corpus = Seq((2L, "totally different corpus content " * 10)).toDF("doc_id", "text")
+    val batch = Seq((101L, text), (102L, text + " zz9")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDupsAgainst(batch, "text", "doc_id",
+        Dedup.signatures(corpus, "text", "doc_id"), minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L, 102L), "intra-batch near-dups are a separate composable step")
+  }
+
+  test("incremental pairs match the symmetric nearDupPairs restricted to cross pairs") {
+    // the incremental path must find exactly the corpus↔batch near-dup
+    // pairs the full symmetric run finds (no intra-side pairs, none missed)
+    val docs = (1L to 40L).map { i =>
+      val base = Seq.tabulate(25)(j => s"w${(i % 8)}x$j common$j").mkString(" ")
+      (i, if (i % 5 == 0) base else base + s" unique$i " * 6)
+    }
+    val corpus = docs.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val batch = docs.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(
+        Dedup.signatures(corpus, "text", "doc_id"),
+        Dedup.signatures(batch, "text", "doc_id"), "doc_id", minJaccard = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val full = Dedup.nearDupPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+        minJaccard = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val crossFull = full.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (a, b)
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (b, a)
+    }
+    assert(inc == crossFull, s"inc=$inc cross=$crossFull")
+  }
+
   test("semantic dedup drops are monotone in nProbe (multi-probe recovers boundary splits)") {
     val rng = new scala.util.Random(777)
     val base = (1L to 300L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))

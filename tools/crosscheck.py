@@ -109,6 +109,21 @@ def q19b(docs):
     return ["is_variant", "n"], rows
 
 
+def q49(docs):
+    corpus = [(d[0], d[1]) for d in docs if d[0] % 2 == 0]
+    batch = [(d[0], d[1]) for d in docs if d[0] % 2 == 1] + \
+            [(i + 1000000, t + " zz9marker") for i, t in corpus]
+    pairs = dedup.incremental_near_dup_pairs(corpus, batch, min_jaccard=0.8)
+    dropped = {b for _a, b, _e in pairs}
+    kept = [i for i, _t in batch if i not in dropped]
+    base = [i for i in kept if i < 1000000]
+    var = [i for i in kept if i >= 1000000]
+    rows = [(False, len(base), sum(base))]
+    if var:
+        rows.append((True, len(var), sum(var)))
+    return ["is_variant", "n", "sum_id"], rows
+
+
 def q19c(docs):
     base = [(d[0], d[1]) for d in docs]
     corpus = (base
@@ -468,6 +483,7 @@ def main():
         "q19_neardup_candidates": lambda: q19(docs),
         "q19b_neardup_dedup": lambda: q19b(docs),
         "q19c_neardup_clusters": lambda: q19c(docs),
+        "q49_incremental_dedup": lambda: q49(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),
         "q22_ann_lsh": lambda: q22(emb),

@@ -92,6 +92,42 @@ def near_dup_pairs(docs, min_jaccard=0.7, max_bucket_width=DEFAULT_MAX_BUCKET_WI
     return out
 
 
+def incremental_near_dup_pairs(corpus, batch, min_jaccard=0.7,
+                               max_bucket_width=DEFAULT_MAX_BUCKET_WIDTH):
+    """Mirrors Dedup.incrementalNearDupPairs: batch vs existing-corpus LSH
+    with per-side width caps. A probed corpus bucket keeps ALL its members
+    (the Spark semi-join is per-row on the bucket key), so the corpus-side
+    width is the full bucket width. → [(corpus_id, batch_id, est)]."""
+    sc = {i: minhash_signature(t) for i, t in corpus}
+    sb = {i: minhash_signature(t) for i, t in batch}
+    cb = {}
+    for i, _ in corpus:
+        for k in band_buckets(sc[i]):
+            cb.setdefault(k, []).append(i)
+    bb = {}
+    for i, _ in batch:
+        for k in band_buckets(sb[i]):
+            bb.setdefault(k, []).append(i)
+    pairs = set()
+    for k, bids in bb.items():
+        if len(bids) > max_bucket_width:
+            continue
+        cids = cb.get(k)
+        if not cids or len(cids) > max_bucket_width:
+            continue
+        for a in cids:
+            for b in bids:
+                pairs.add((a, b))
+    out = []
+    for a, b in pairs:
+        sa, sb_ = sc[a], sb[b]
+        eq = sum(1 for x, y in zip(sa, sb_) if x == y)
+        est = eq / NUM_HASHES
+        if est >= min_jaccard:
+            out.append((a, b, round_half_up(est, 4)))
+    return out
+
+
 def simhash64(text):
     if not text:
         return 0
