@@ -134,4 +134,57 @@ object ModelArtifacts {
       Array.tabulate(row.size())(row.get(_).asDouble())
     }
   }
+
+  // ------------------------------------------------------------------
+  // Corpus-trained n-gram LM (perplexity model)
+  // ------------------------------------------------------------------
+  /** Persist a [[graft.ppl.NgramLM.Model]] (e.g. from
+    * `LMTrainer.trainFromCorpus`) so the LM trains ONCE on the corpus and
+    * then serves any number of scoring jobs — the same build/serve split
+    * as the IVF centroids. Counts are integers, so load(save(m)) is exact.
+    */
+  def saveNgramModel(spark: SparkSession, dir: String, m: graft.ppl.NgramLM.Model): Unit = {
+    val sb = new StringBuilder(64 + 16 * (m.tri.size + m.bi.size))
+    sb.append(s"""{"vocabSize":${m.vocabSize},"tri":{""")
+    var first = true
+    m.tri.foreachEntry { (k, v) =>
+      if (!first) sb.append(','); sb.append('"').append(k).append("\":").append(v)
+      first = false
+    }
+    sb.append("},\"bi\":{")
+    first = true
+    m.bi.foreachEntry { (k, v) =>
+      if (!first) sb.append(','); sb.append('"').append(k).append("\":").append(v)
+      first = false
+    }
+    sb.append("}}")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, "ngram_lm.json"), true)
+    try out.write(sb.result().getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def loadNgramModel(spark: SparkSession, dir: String): graft.ppl.NgramLM.Model = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, "ngram_lm.json")
+    if (!f.exists(p))
+      throw graft.errors.ModelNotFoundError(p.toString)
+    val status = f.getFileStatus(p)
+    val in = f.open(p)
+    val bytes = new Array[Byte](status.getLen.toInt)
+    try in.readFully(bytes) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, StandardCharsets.UTF_8))
+    def toMap(field: String, initCap: Int): graft.util.LongIntMap = {
+      val m = new graft.util.LongIntMap(initCap)
+      val it = node.get(field).fields()
+      while (it.hasNext) {
+        val e = it.next()
+        m.update(e.getKey.toLong, e.getValue.asInt())
+      }
+      m
+    }
+    graft.ppl.NgramLM.Model(toMap("tri", 1 << 14), toMap("bi", 1 << 12),
+      node.get("vocabSize").asInt())
+  }
 }

@@ -277,6 +277,11 @@ object Dedup {
       .withColumn("__w", count(lit(1)).over(wWin))
       .filter(col("__w") <= maxBucketWidth)
       .select(col("band"), col("bucket"), col(idCol).as("a"))
+    // the candidate-pair table is batch-bounded; the signature joins are
+    // deliberately left to AQE, whose runtime stats pick the broadcast
+    // side — an explicit broadcast hint here measured 5.6× SLOWER at
+    // 1M×200k (the forced exchange serializes the pair subplan) while
+    // saving only shuffle bytes (BENCH.md, incremental dedup)
     cCap.join(bc(bCap), Seq("band", "bucket"))
       .select("a", "b").distinct()
       .join(corpusSigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sigA"), Seq("a"))

@@ -78,6 +78,22 @@ class LMTrainerSpec extends AnyFunSuite {
     assert(same, "tri/bi tables must be partition-order independent")
   }
 
+  test("save/load round-trips the trained model exactly (build-once/serve-many)") {
+    val m = LMTrainer.trainFromCorpus(docs.toDF("text"), "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    graft.io.ModelArtifacts.saveNgramModel(spark, dir, m)
+    val l = graft.io.ModelArtifacts.loadNgramModel(spark, dir)
+    assert(l.vocabSize == m.vocabSize)
+    assert(l.tri.size == m.tri.size && l.bi.size == m.bi.size)
+    var same = true
+    m.tri.foreachEntry { (k, v) => if (l.tri.get(k) != v) same = false }
+    m.bi.foreachEntry { (k, v) => if (l.bi.get(k) != v) same = false }
+    assert(same, "counts must round-trip exactly")
+    // identical perplexity from the loaded model
+    val s = "def f(a): return a * 2"
+    assert(NgramLM.perplexity(s, l) == NgramLM.perplexity(s, m))
+  }
+
   test("corpus-trained model scores via TextOps.perplexityUdf(model)") {
     val m = LMTrainer.trainFromCorpus(docs.toDF("text"), "text")
     val scored = Seq("def bar(y): return y + 1", null)
