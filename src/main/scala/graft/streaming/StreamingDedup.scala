@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Dedup
+
+/** Streaming NEAR-duplicate detection — the continuous-ingest twin of the
+  * batch MinHash+LSH surface (`Dedup.nearDupPairs` /
+  * `Dedup.dropNearDupsAgainst`): every arriving doc is checked against the
+  * recently-seen members of each LSH band bucket it lands in, with
+  * BOUNDED state.
+  *
+  * Shape: the native MinHash expression runs stateless on the stream; the
+  * 16 (band, bucket) rows per doc key a `flatMapGroupsWithState` whose
+  * per-bucket state holds at most `maxPerBucket` (id, signature) entries
+  * (FIFO eviction), and a bucket idle past `ttlMs` of EVENT time is
+  * evicted via event-time timeout against the watermark — so total state
+  * is O(buckets active within one TTL × maxPerBucket), independent of
+  * stream length. Event-time (not processing-time) timeouts on purpose:
+  * they advance only with data, so `processAllAvailable` settles instead
+  * of busy-looping empty micro-batches to poll a wall clock, and replays
+  * are deterministic. The FIFO cap mirrors the batch side's bucket-width
+  * cap: a degenerate boilerplate bucket cannot grow without bound — it
+  * forgets oldest-first.
+  *
+  * Output: one `(doc_id, matched_id, est_jaccard, band)` MATCH EVENT per
+  * band bucket in which an arriving doc agrees with a stored signature at
+  * `minJaccard` or above (first stored match per bucket). A pair sharing k
+  * band buckets emits up to k events — consumers dedupe by `doc_id`
+  * (e.g. `.dropDuplicates` in `foreachBatch` before anti-joining the
+  * micro-batch), the same contract as the batch candidate stream.
+  *
+  * Eviction caveat, by design: a near-dup of a doc that was FIFO-evicted
+  * from all shared buckets (or whose buckets idled past the TTL) is NOT
+  * matched — streaming near-dedup is a windowed guarantee, exactly like
+  * [[StreamingStats.firstSeenWithTtl]]'s contract for exact keys.
+  */
+object StreamingDedup {
+
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]], expiry: Long)
+  final case class NearDupMatch(doc_id: Long, matched_id: Long,
+      est_jaccard: Double, band: Int)
+
+  /** `tsCol` must be a TimestampType event-time column (the watermark
+    * source, as in [[StreamingStats.firstSeenWithTtl]]).
+    */
+  def nearDupMatches(df: DataFrame, textCol: String, idCol: String,
+      tsCol: String, minJaccard: Double = 0.9, maxPerBucket: Int = 64,
+      ttlMs: Long = 3600000L, watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(maxPerBucket >= 1, s"maxPerBucket must be >= 1: $maxPerBucket")
+    val sigs = df
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.MinHashSignatureExpr.minhash_signature(col(textCol)).as("sig"),
+        col(tsCol).as("ts"))
+    val bandCols = (0 until Dedup.Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
+          .map(j => col("sig").getItem(j)): _*).as("bucket"))
+    }
+    val rows = sigs
+      .select(col("id"), col("sig"), col("ts"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("ts"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val n = Dedup.NumHashes
+    rows
+      .groupByKey((r: Row) =>
+        (r.getInt(3).toLong << 32) | (r.getInt(4).toLong & 0xFFFFFFFFL))(Encoders.scalaLong)
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rs: Iterator[Row], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // expired-but-not-yet-collected state counts as absent (same
+            // convention as firstSeenWithTtl)
+            val live = state.exists && state.get.expiry > wm
+            var ids = if (live) state.get.ids.toVector else Vector.empty[Long]
+            var stored = if (live) state.get.sigs.toVector else Vector.empty[Seq[Long]]
+            val out = scala.collection.mutable.ArrayBuffer[NearDupMatch]()
+            var maxTs = Long.MinValue
+            rs.foreach { r =>
+              val id = r.getLong(0)
+              val sig = r.getSeq[Long](1)
+              maxTs = math.max(maxTs, r.getTimestamp(2).getTime)
+              val band = r.getInt(3)
+              var i = 0
+              var matched = false
+              while (i < stored.length && !matched) {
+                if (ids(i) != id) {
+                  val s = stored(i)
+                  var eq = 0; var j = 0
+                  while (j < n) { if (s(j) == sig(j)) eq += 1; j += 1 }
+                  val est = eq.toDouble / n
+                  if (est >= minJaccard) {
+                    out += NearDupMatch(id, ids(i), est, band)
+                    matched = true
+                  }
+                }
+                i += 1
+              }
+              ids :+= id; stored :+= sig
+              if (ids.length > maxPerBucket) { ids = ids.tail; stored = stored.tail }
+            }
+            val expiry = math.max(maxTs + ttlMs, wm + 1) // timeout must be > watermark
+            state.update(BucketState(ids, stored, expiry))
+            state.setTimeoutTimestamp(expiry)
+            out.iterator
+          }
+      }(Encoders.product[BucketState], Encoders.product[NearDupMatch])
+      .toDF()
+  }
+}

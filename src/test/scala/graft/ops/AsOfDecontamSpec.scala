@@ -142,6 +142,16 @@ class AsOfDecontamSpec extends AnyFunSuite {
     assert(kept == Set(101L, 102L), "intra-batch near-dups are a separate composable step")
   }
 
+  test("incremental dedup degenerate inputs: empty batch and empty corpus") {
+    val docs = Seq((1L, "some corpus document text here")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dropNearDupsAgainst(empty, "text", "doc_id",
+      Dedup.signatures(docs, "text", "doc_id")).count() == 0L)
+    assert(Dedup.dropNearDupsAgainst(docs, "text", "doc_id",
+      Dedup.signatures(empty, "text", "doc_id")).count() == 1L,
+      "empty index keeps the whole batch")
+  }
+
   test("incremental pairs match the symmetric nearDupPairs restricted to cross pairs") {
     // the incremental path must find exactly the corpus↔batch near-dup
     // pairs the full symmetric run finds (no intra-side pairs, none missed)

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestSession
+
+/** Streaming near-dup detection pinned with MemoryStream micro-batches:
+  * cross-batch matches, exact-dup agreement = 1.0, distinct docs silent,
+  * agreement consistent with the batch SigAgreement semantics, and
+  * event-time TTL eviction (a bucket idle past the TTL forgets its
+  * members, so a late near-dup counts as fresh).
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+
+  private def base(seed: String): String =
+    Seq.tabulate(40)(j => s"$seed$j word${j % 7} tok$j").mkString(" ")
+
+  private def run(batches: Seq[Seq[(Long, String, Timestamp)]], minJaccard: Double,
+      ttlMs: Long = 3600000L): Seq[(Long, Long, Double)] = {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingDedup.nearDupMatches(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        minJaccard = minJaccard, ttlMs = ttlMs)
+      .writeStream.format("memory").queryName("ndmatches")
+      .outputMode(OutputMode.Append()).start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val out = spark.table("ndmatches")
+      .select("doc_id", "matched_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq.distinct
+    spark.sql("DROP TABLE IF EXISTS ndmatches")
+    out
+  }
+
+  test("near-dup in a later batch matches the stored doc; distinct doc stays silent") {
+    val a = base("alpha")
+    val matches = run(Seq(
+      Seq((1L, a, ts("10:00:00"))),
+      Seq((2L, a + " zz9marker", ts("10:00:10")),
+        (3L, base("gammaXXdifferent"), ts("10:00:10")))
+    ), minJaccard = 0.8)
+    assert(matches.nonEmpty)
+    assert(matches.map(m => (m._1, m._2)).distinct == Seq((2L, 1L)),
+      s"only doc 2 matches doc 1: $matches")
+    assert(matches.forall(_._3 >= 0.8))
+  }
+
+  test("exact duplicate across batches matches with agreement 1.0") {
+    val a = base("beta")
+    val matches = run(Seq(
+      Seq((10L, a, ts("10:00:00"))),
+      Seq((11L, a, ts("10:00:05")))), minJaccard = 0.9)
+    assert(matches.map(m => (m._1, m._2)).distinct == Seq((11L, 10L)))
+    assert(matches.forall(_._3 == 1.0))
+  }
+
+  test("first batch emits nothing (no stored members yet)") {
+    val matches = run(Seq(Seq((1L, base("solo"), ts("10:00:00")))), minJaccard = 0.8)
+    assert(matches.isEmpty)
+  }
+
+  test("agreement equals the batch-side signature agreement") {
+    val a = base("delta")
+    val b = a + " zz9marker"
+    val matches = run(Seq(
+      Seq((1L, a, ts("10:00:00"))),
+      Seq((2L, b, ts("10:00:05")))), minJaccard = 0.5)
+    val sa = graft.ops.Dedup.minhashSignature(a)
+    val sb = graft.ops.Dedup.minhashSignature(b)
+    val expected = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+    assert(matches.nonEmpty)
+    assert(matches.forall(_._3 == expected),
+      s"streaming est must equal batch agreement $expected: $matches")
+  }
+
+  test("event-time TTL evicts idle buckets: a dup after the window is NOT matched") {
+    val a = base("epsilon")
+    // ttl = 60 s of event time; the exact dup arrives 10 min later, after
+    // an intermediate batch advanced the watermark past the bucket expiry
+    val matches = run(Seq(
+      Seq((1L, a, ts("10:00:00"))),
+      Seq((50L, base("fillerZZ"), ts("10:05:00"))), // advances watermark past 10:01
+      Seq((2L, a, ts("10:10:00")))
+    ), minJaccard = 0.9, ttlMs = 60000L)
+    assert(!matches.exists(m => m._1 == 2L),
+      s"doc 2 must count as fresh after TTL eviction: $matches")
+  }
+
+  test("within-TTL dup IS matched under the same timeline") {
+    val a = base("zeta")
+    val matches = run(Seq(
+      Seq((1L, a, ts("10:00:00"))),
+      Seq((50L, base("fillerZZ"), ts("10:05:00"))),
+      Seq((2L, a, ts("10:10:00")))
+    ), minJaccard = 0.9, ttlMs = 3600000L)
+    assert(matches.exists(m => m._1 == 2L && m._2 == 1L),
+      s"doc 2 within TTL must match: $matches")
+  }
+}
