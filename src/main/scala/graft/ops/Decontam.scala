@@ -59,6 +59,44 @@ object Decontam {
       .filter(col("n_overlapping_ngrams") >= minOverlap)
   }
 
+  /** Bloom-prefiltered contamination report — for benchmark suites whose
+    * exact distinct gram set is too large to broadcast (a full eval stack
+    * can reach 10⁸ grams ≈ several GB of md5 strings). Two phases,
+    * EXACTNESS PRESERVED:
+    *
+    *  1. a Bloom filter over the benchmark gram hashes broadcasts at
+    *     ~1.2 bytes/gram at 1% fpp — an order of magnitude smaller than
+    *     the exact set — and prefilters corpus grams MAP-SIDE: only true
+    *     overlaps plus an fpp-sliver of false positives survive;
+    *  2. the surviving sliver is exact-verified by the ordinary semi join,
+    *     whose shuffled input is |overlaps| + fpp·|corpus grams| instead
+    *     of |corpus grams|.
+    *
+    * Output is row-identical to [[contaminationReport]] at any fpp (the
+    * verify phase removes every false positive; pinned by spec). The
+    * benchmark gram set is computed twice (bloom build action + verify
+    * join) — a narrow recompute of the SMALL side, kept stateless on
+    * purpose; persist the benchmark grams at the call site if that side
+    * is expensive.
+    */
+  def contaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8, minOverlap: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val corpusGrams = wordNgramHashes(corpus, textCol, idCol, n)
+    val benchGrams = wordNgramHashes(benchmark, textCol, idCol, n)
+      .select(col("ngram_hash")).distinct()
+    val nBench = math.max(1L, benchGrams.count())
+    val bf = benchGrams.stat.bloomFilter("ngram_hash", nBench, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
+    corpusGrams.filter(mightContain(col("ngram_hash")))
+      .join(benchGrams, Seq("ngram_hash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlapping_ngrams"))
+      .filter(col("n_overlapping_ngrams") >= minOverlap)
+  }
+
   /** The filtering form: corpus minus contaminated documents (anti join on
     * the contamination report).
     */

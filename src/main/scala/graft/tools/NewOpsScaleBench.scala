@@ -128,6 +128,28 @@ object NewOpsScaleBench {
       s""""planted":$nPlantedLeaks,"flagged":$flagged,"exact":${flagged == nPlantedLeaks}"""
     }
 
+    // large-benchmark decontamination: the exact path must broadcast every
+    // distinct benchmark gram (md5 strings); the bloom path broadcasts a
+    // ~1.2 B/gram sketch and exact-verifies only the hit sliver. Benchmark
+    // = nDocs/5 FRESH random docs (disjoint vocab sequences — flagged must
+    // be 0 on both paths, which doubles as an at-size equality check).
+    val bigBenchPath = s"/tmp/graft-newops-bigbench-${nDocs / 5}"
+    if (!new java.io.File(bigBenchPath).exists()) {
+      spark.range(8 * nDocs, 8 * nDocs + nDocs / 5, 1, 32)
+        .select(col("id").as("doc_id"), corpusTextUdf(col("id")).as("text"))
+        .write.mode("overwrite").parquet(bigBenchPath)
+    }
+    val bigBench = spark.read.parquet(bigBenchPath)
+    val nBigBench = bigBench.count()
+    measure("decontam_bigbench_exact", nDocs) {
+      val flagged = Decontam.contaminationReport(docs, bigBench, "text", "doc_id", n = 8).count()
+      s""""benchDocs":$nBigBench,"flagged":$flagged"""
+    }
+    measure("decontam_bigbench_bloom", nDocs) {
+      val flagged = Decontam.contaminationReportBloom(docs, bigBench, "text", "doc_id", n = 8).count()
+      s""""benchDocs":$nBigBench,"flagged":$flagged"""
+    }
+
     measure("lm_train", nDocs) {
       val m = graft.ppl.LMTrainer.trainFromCorpus(docs, "text")
       s""""vocab":${m.vocabSize},"triKeys":${m.tri.size},"biKeys":${m.bi.size}"""

@@ -115,6 +115,25 @@ class AsOfDecontamSpec extends AnyFunSuite {
       s"distinct vectors must survive: $kept")
   }
 
+  test("bloom-prefiltered decontamination is row-identical to the exact path") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog today ok"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words the quick brown fox jumps over the lazy dog today ok suffix"),
+      (11L, "completely unrelated content with plenty of distinct tokens in this row here"),
+      (12L, "another clean document full of words that never appear in the benchmark set")
+    ).toDF("doc_id", "text")
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful fpp must not change output
+      val exact = Decontam.contaminationReport(corpus, bench, "text", "doc_id", n = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bloom = Decontam.contaminationReportBloom(corpus, bench, "text", "doc_id",
+          n = 8, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bloom == exact, s"fpp=$fpp: $bloom vs $exact")
+      assert(exact.map(_._1) == Set(10L))
+    }
+  }
+
   // ------------------------------------------------------------------
   // Incremental dedup (batch vs existing corpus signature store)
   // ------------------------------------------------------------------
