@@ -503,6 +503,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     }),
 
+    // semi-structured extraction: JSON property pulled in-plan
+    // (get_json_object is codegen'd; no UDF) and aggregated — the
+    // schema-on-read shape every event pipeline needs for raw props
+    "q50_json_props" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 2).as("avg_k"), max(col("k")).as("max_k"))
+    }),
+
     // hierarchical subtotals: ROLLUP(priority, status) — grand total, per
     // priority, per (priority, status); sums exact via the decimal helper
     "q38_rollup_orders" -> ((s, dir) => {
@@ -810,6 +822,13 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q50_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+         round(avg(CAST(props->>'$.k' AS BIGINT)), 2) AS avg_k,
+         CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type""",
 
     "q25_running_revenue" ->
       """SELECT o_custkey, o_orderkey,
