@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures
-import graft.ops.{AsOf, Decontam, Dedup, Mixing, Multimodal, Sessionize, Similarity, TextOps}
+import graft.ops.{AsOf, Decontam, Dedup, Mixing, Multimodal, Packing, Sessionize, Similarity, TextOps}
 import graft.pipeline.QualityFilter
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -457,6 +457,14 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(TextOps.tokenCount(col("text"))).as("kept_tokens"))
+    }),
+
+    // sequence packing (concat + chunk at 512 tokens): one window per
+    // source assigns each doc its starting bin; per-source report of bin
+    // count and fill — the LM-pretraining packing step, oracle-checked
+    "q51_sequence_packing" -> ((s, dir) => {
+      Packing.packingReport(t(s, dir, "documents"), "doc_id", "source", "text",
+        capacity = 512)
     }),
 
     // the LM-training aggregation shape (graft.ppl.LMTrainer): corpus-wide
@@ -925,6 +933,24 @@ object SparkEntry {
          FROM tok t JOIN thr2 USING (source)
          WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < threshold
          GROUP BY t.source""",
+
+    "q51_sequence_packing" ->
+      """WITH tok AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+           FROM documents),
+         off AS (SELECT source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_offset
+           FROM tok),
+         pb AS (SELECT source, CAST(floor(start_offset / 512.0) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+           FROM off GROUP BY 1, 2)
+         SELECT source, count(*) AS n_bins, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           round(avg(bin_tokens), 2) AS avg_bin_tokens
+         FROM pb GROUP BY source""",
 
     "q48_trigram_counts" ->
       """SELECT tri, cnt FROM (

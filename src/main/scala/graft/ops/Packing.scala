@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LM pretraining: assign documents to fixed-capacity
+  * token bins by CONTIGUOUS FILL — concatenate docs in a deterministic
+  * order and chunk the stream every `capacity` tokens (the standard
+  * "concat + chunk" packing; a doc straddling a boundary is split at
+  * tokenization time, so the assignment only needs each doc's starting
+  * offset). `bin = floor(start_offset / capacity)` where start_offset is
+  * the running token count of all PRIOR docs in the same source.
+  *
+  * Scale shape: one window (sum over source, ordered by id) — a single
+  * exchange + sort per source partition, no joins, no iteration; the
+  * downstream per-bin aggregation reuses the same partitioning. Order is
+  * (source, doc id): deterministic at any parallelism because ids are
+  * unique. Exact and SQL-expressible → DuckDB-oracle-checked (q51).
+  */
+object Packing {
+
+  /** Adds (n_tokens, start_offset, bin) per document. */
+  def assignBins(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    df.withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("bin", floor(col("start_offset") / capacity))
+  }
+
+  /** Per-source packing report: bins used, docs, tokens, and the fill of
+    * the fullest/average bin (fill counts a doc's tokens in its STARTING
+    * bin — the spanning remainder belongs to the next chunk at
+    * tokenization time).
+    */
+  def packingReport(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, capacity: Int): DataFrame =
+    assignBins(df, idCol, sourceCol, textCol, capacity)
+      .groupBy(col(sourceCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        round(avg(col("bin_tokens")), 2).as("avg_bin_tokens"))
+}

@@ -115,6 +115,34 @@ class AsOfDecontamSpec extends AnyFunSuite {
       s"distinct vectors must survive: $kept")
   }
 
+  test("sequence packing: hand-computed bins, contiguous fill, partition-independent") {
+    // source s: docs of 3,4,5,2 tokens, capacity 6
+    // offsets: 0,3,7,12 → bins floor(off/6): 0,0,1,2
+    val docs = Seq(
+      (1L, "s", "a b c"),
+      (2L, "s", "d e f g"),
+      (3L, "s", "h i j k l"),
+      (4L, "s", "m n"),
+      (10L, "t", "x y z")
+    ).toDF("doc_id", "source", "text")
+    val bins = Packing.assignBins(docs, "doc_id", "source", "text", capacity = 6)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 10L -> 0L), bins.toString)
+
+    val report = Packing.packingReport(docs, "doc_id", "source", "text", capacity = 6)
+      .filter($"source" === "s").head()
+    assert(report.getLong(1) == 3L, "3 bins") // n_bins
+    assert(report.getLong(2) == 4L) // n_docs
+    assert(report.getLong(3) == 14L) // total_tokens
+    assert(report.getLong(4) == 7L) // max bin fill (docs 1+2 start in bin 0)
+
+    val p1 = Packing.assignBins(docs.repartition(1), "doc_id", "source", "text", 6)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toSet
+    val p7 = Packing.assignBins(docs.repartition(7), "doc_id", "source", "text", 6)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toSet
+    assert(p1 == p7, "assignment must be partition-order independent")
+  }
+
   test("bloom-prefiltered decontamination is row-identical to the exact path") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog today ok"))
       .toDF("doc_id", "text")
