@@ -50,20 +50,28 @@ object AsOf {
     def nullOf(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)
 
+    // The right payload is carried as ONE struct (null for left-tagged
+    // rows, non-null for every right row — even one whose payload fields
+    // are all null), so `last(ignoreNulls)` picks the whole matched right
+    // row atomically. Carrying each column independently would back-fill a
+    // NULL field of the matched row from an OLDER right row — mixing fields
+    // across rows, diverging from ASOF semantics (DuckDB returns the
+    // matched row's null).
+    val rStruct = org.apache.spark.sql.types.StructType(rCols.map(c => right.schema(c)))
     val lSel = keyCols.map(col) ++
       Seq(col(leftTimeCol).as("__t"), lit(1).as("__side")) ++
-      lCols.map(col) ++ rCols.map(c => nullOf(right, c))
+      lCols.map(col) :+ lit(null).cast(rStruct).as("__r")
     val rSel = keyCols.map(col) ++
       Seq(col(rightTimeCol).as("__t"), lit(0).as("__side")) ++
-      lCols.map(c => nullOf(left, c)) ++ rCols.map(col)
+      lCols.map(c => nullOf(left, c)) :+ struct(rCols.map(col): _*).as("__r")
 
     val tagged = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rCols.foldLeft(tagged) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    val carried = tagged.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(keyCols.map(col) ++ lCols.map(col) ++
+        rCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

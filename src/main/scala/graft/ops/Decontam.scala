@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   * PaLM-style 8-gram collision rule).
   *
   * Scale shape: each document emits its DISTINCT word-n-gram fingerprints in
-  * one narrow pass (`posexplode` over the token array — no joins, no UDF,
-  * md5 keys uniformly distributed). The benchmark side is tiny by nature
-  * (eval sets are thousands of rows, not billions), so its distinct
-  * fingerprint set broadcasts and the contamination check is a map-side
-  * semi join: the 10^12-row training side is touched exactly once and never
-  * shuffles on anything but its own aggregation key (doc id). For an
-  * unusually large benchmark set pass `broadcastBenchmark = false` to fall
-  * back to a shuffled semi join.
+  * one NARROW pass — the gram-hash array is built and `array_distinct`-ed
+  * ROW-LOCALLY before the explode, so per-doc dedup costs zero shuffle
+  * (round 3 used `.distinct()` after the explode, which was a hash
+  * aggregate over O(total corpus tokens) rows — a corpus-scale shuffle
+  * sitting BEFORE the broadcast semi join could prune anything). The
+  * benchmark side is tiny by nature (eval sets are thousands of rows, not
+  * billions), so its distinct fingerprint set broadcasts and the
+  * contamination check is a map-side semi join: the 10^12-row training side
+  * is touched exactly once and the only corpus-side shuffle in the whole
+  * plan is the final `groupBy(doc id)` over the post-semi-join overlap
+  * sliver (pinned by a plan assertion in DecontamSpec). For an unusually
+  * large benchmark set pass `broadcastBenchmark = false` to fall back to a
+  * shuffled semi join.
   *
   * Exact + SQL-expressible, so oracle-checked end-to-end against DuckDB
   * (SparkEntry q40).
@@ -33,13 +38,16 @@ object Decontam {
       n: Int = 8): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     val toks = split(trim(col(textCol)), "\\s+")
+    // build + dedup the gram array ROW-LOCALLY (array_distinct computes
+    // exactly the per-doc distinct the old explode+distinct shuffled for),
+    // then explode — the whole op is one narrow projection, zero shuffles
     df.filter(graft.ops.TextOps.tokenCount(col(textCol)) >= n)
       .select(col(idCol), toks.as("__toks"))
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0), size(col("__toks")) - n)).as("__k"))
       .select(col(idCol),
-        md5(concat_ws(" ", slice(col("__toks"), col("__k") + 1, lit(n)))).as("ngram_hash"))
-      .distinct()
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("__toks")) - n),
+          k => md5(concat_ws(" ", slice(col("__toks"), k + 1, lit(n))))
+        ))).as("ngram_hash"))
   }
 
   /** Per-document contamination counts against a benchmark set:
@@ -78,6 +86,15 @@ object Decontam {
     * join) — a narrow recompute of the SMALL side, kept stateless on
     * purpose; persist the benchmark grams at the call site if that side
     * is expensive.
+    *
+    * This function is EAGER through the prefilter phase: the surviving
+    * sliver is materialised (`localCheckpoint`) and the multi-MB Bloom
+    * broadcast is then unpersisted, so a long-lived session issuing many
+    * reports no longer accumulates broadcast blocks on EXECUTORS until GC
+    * (`unpersist`, not `destroy`: the checkpointed plan's task closure
+    * still serialises the broadcast handle, and a destroyed broadcast
+    * fails that serialisation — unpersist keeps the driver-side copy for
+    * re-fetch while freeing the executor memory the leak was about).
     */
   def contaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 8, minOverlap: Int = 1,
@@ -89,12 +106,16 @@ object Decontam {
     val nBench = math.max(1L, benchGrams.count())
     val bf = benchGrams.stat.bloomFilter("ngram_hash", nBench, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
-    corpusGrams.filter(mightContain(col("ngram_hash")))
-      .join(benchGrams, Seq("ngram_hash"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlapping_ngrams"))
-      .filter(col("n_overlapping_ngrams") >= minOverlap)
+    try {
+      val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
+      // eager: the sliver is |overlaps| + fpp·|corpus grams| rows — the
+      // whole point of the prefilter is that this is small enough to hold
+      corpusGrams.filter(mightContain(col("ngram_hash"))).localCheckpoint()
+        .join(benchGrams, Seq("ngram_hash"), "left_semi")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_overlapping_ngrams"))
+        .filter(col("n_overlapping_ngrams") >= minOverlap)
+    } finally bc.unpersist(blocking = false)
   }
 
   /** The filtering form: corpus minus contaminated documents (anti join on

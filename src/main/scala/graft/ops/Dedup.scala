@@ -246,10 +246,13 @@ object Dedup {
     * parquet) signature table in one map pass, then are immediately
     * semi-joined against the BROADCAST batch bucket-key set, so only
     * corpus rows in a bucket the batch actually probes reach the
-    * width-capped join. The width cap applies per side; a probed bucket
-    * retains ALL its corpus members, so the corpus-side width equals the
-    * full-corpus bucket width and cap semantics match
-    * [[candidatePairsFromSigs]] exactly.
+    * width-capped join. The width cap applies to the COMBINED bucket
+    * (corpus members + batch members): that is exactly the width
+    * [[candidatePairsFromSigs]] would see running over corpus ∪ batch, so
+    * the cross pairs here equal the full symmetric run's cross pairs even
+    * for buckets straddling the cap (a probed bucket retains ALL its
+    * corpus members — the semi join is per bucket key — so the corpus-side
+    * count is the true full-corpus bucket width).
     *
     * Id spaces must be disjoint across the two tables (same contract as a
     * curated store: batch ids are new). Returns
@@ -267,22 +270,24 @@ object Dedup {
       if (broadcastBatch) org.apache.spark.sql.functions.broadcast else identity
     val wWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
-    val bCap = lshBucketsFromSigs(batchSigs, idCol)
-      .withColumn("__w", count(lit(1)).over(wWin))
-      .filter(col("__w") <= maxBucketWidth)
-      .select(col("band"), col("bucket"), col(idCol).as("b"))
-    val probed = lshBucketsFromSigs(corpusSigs, idCol)
-      .join(bc(bCap.select("band", "bucket").distinct()), Seq("band", "bucket"), "left_semi")
-    val cCap = probed
-      .withColumn("__w", count(lit(1)).over(wWin))
-      .filter(col("__w") <= maxBucketWidth)
-      .select(col("band"), col("bucket"), col(idCol).as("a"))
+    val bW = lshBucketsFromSigs(batchSigs, idCol)
+      .withColumn("__wb", count(lit(1)).over(wWin))
+      .select(col("band"), col("bucket"), col(idCol).as("b"), col("__wb"))
+    // a bucket with wb ≥ maxBucketWidth can never pass the combined cap
+    // (corpus width ≥ 1 for any pair), so don't even probe it
+    val probeKeys = bW.filter(col("__wb") < maxBucketWidth)
+      .select("band", "bucket").distinct()
+    val cW = lshBucketsFromSigs(corpusSigs, idCol)
+      .join(bc(probeKeys), Seq("band", "bucket"), "left_semi")
+      .withColumn("__wc", count(lit(1)).over(wWin))
+      .select(col("band"), col("bucket"), col(idCol).as("a"), col("__wc"))
     // the candidate-pair table is batch-bounded; the signature joins are
     // deliberately left to AQE, whose runtime stats pick the broadcast
     // side — an explicit broadcast hint here measured 5.6× SLOWER at
     // 1M×200k (the forced exchange serializes the pair subplan) while
     // saving only shuffle bytes (BENCH.md, incremental dedup)
-    cCap.join(bc(bCap), Seq("band", "bucket"))
+    cW.join(bc(bW), Seq("band", "bucket"))
+      .filter(col("__wc") + col("__wb") <= maxBucketWidth)
       .select("a", "b").distinct()
       .join(corpusSigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sigA"), Seq("a"))
       .join(batchSigs.withColumnRenamed(idCol, "b").withColumnRenamed("sig", "sigB"), Seq("b"))
@@ -378,22 +383,33 @@ object Dedup {
     var it = 0
     var lastChanged = -1L
     while (it < maxIter && lastChanged != 0) {
-      // 1. each node adopts the smallest rep among itself and its neighbours
+      // 1. each node adopts the smallest rep among itself and its neighbours.
+      // The round's OWN previous label rides along as `prev` (each id has
+      // exactly one labels row, so max() recovers it past the union with
+      // the prev-less neighbour rows) — convergence is then an observe()
+      // metric on the round's materialising action instead of a separate
+      // join+count job per round.
+      val idType = labels.schema("rep").dataType
       val viaNeighbour = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .select(col("a").as("id"), col("rep"))
+        .select(col("a").as("id"), col("rep"), lit(null).cast(idType).as("prev"))
       // cut before the self-join below: hooked is referenced twice and an
       // un-materialised reference would recompute the join+agg per side
-      val hooked = cut(labels.unionByName(viaNeighbour)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep")))
+      val hooked = cut(labels.withColumn("prev", col("rep")).unionByName(viaNeighbour)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("prev")).as("prev")))
       // 2. pointer doubling: rep := rep's own rep (labels only ever
       // decrease, and every rep value is an id in the table, so the inner
       // join is total and monotone)
+      val obs = org.apache.spark.sql.Observation()
       val next = cut(hooked
         .join(hooked.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"))
-        .select(col("id"), col("rep2").as("rep")))
-      lastChanged = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
-        .filter(col("rep") =!= col("prev")).count()
+        .select(col("id"), col("rep2").as("rep"), col("prev"))
+        .observe(obs, sum(when(col("rep") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("rep")))
+      // cut() was the action; the metric is already available (sum over
+      // zero rows is null → converged/empty)
+      lastChanged = obs.get.get("changed").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
       it += 1
     }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Sequence packing for LM pretraining: assign documents to fixed-capacity
   * token bins by CONTIGUOUS FILL — concatenate docs in a deterministic
@@ -12,23 +13,91 @@ import org.apache.spark.sql.functions._
   * offset). `bin = floor(start_offset / capacity)` where start_offset is
   * the running token count of all PRIOR docs in the same source.
   *
-  * Scale shape: one window (sum over source, ordered by id) — a single
-  * exchange + sort per source partition, no joins, no iteration; the
-  * downstream per-bin aggregation reuses the same partitioning. Order is
-  * (source, doc id): deterministic at any parallelism because ids are
-  * unique. Exact and SQL-expressible → DuckDB-oracle-checked (q51).
+  * Scale shape — TWO-PHASE PREFIX SUM. A single
+  * `Window.partitionBy(source).orderBy(id)` would compute the running sum
+  * with ONE reducer per source: with a handful of sources over 10^12 docs,
+  * parallelism is capped at #sources regardless of cluster size (the
+  * round-3 shape, and its hardest scale wall). Instead each source is cut
+  * into `nShards` contiguous id-range shards:
+  *
+  *   1. per-source (min id, max id) — one tiny aggregation, broadcast back;
+  *      shard = (id - minId) / span with span = (maxId - minId)/nShards + 1
+  *      (order-preserving: shard boundaries respect id order);
+  *   2. intra-shard running sums — the big window now keys by
+  *      (source, shard), so nSources × nShards tasks run in parallel;
+  *   3. per-shard token totals (a tiny nSources × nShards table) get their
+  *      own cumulative window (trivial — #shards rows per source) and the
+  *      resulting shard base offsets broadcast back;
+  *   4. start_offset = shard base + intra-shard offset.
+  *
+  * Integer arithmetic throughout, so the result is BITWISE identical to the
+  * single-window formulation at any shard count (pinned by PackingSpec's
+  * shard-count-independence case and the q51 DuckDB oracle, whose SQL is
+  * the one-window form). Ids must be unique per source (same determinism
+  * contract as before); the sharded path requires an integral id column and
+  * falls back to the single-window form otherwise.
   */
 object Packing {
 
+  val DefaultShards = 64
+
   /** Adds (n_tokens, start_offset, bin) per document. */
   def assignBins(df: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, capacity: Int): DataFrame = {
+      textCol: String, capacity: Int, nShards: Int = DefaultShards): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
-    df.withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
-      .withColumn("start_offset",
-        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
-      .withColumn("bin", floor(col("start_offset") / capacity))
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val integralId = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val withTok = df.withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
+    if (!integralId || nShards == 1) {
+      // non-integral ids can't be range-sharded deterministically without a
+      // sort — keep the exact single-window form (one reducer per source)
+      val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      withTok
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+        .withColumn("bin", floor(col("start_offset") / capacity))
+    } else {
+      // exact integral division (a `/` on longs is double division in
+      // Spark — loses bits beyond 2^53, e.g. hash-derived ids)
+      def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("div", a, b)
+      // phase 1: id bounds per source (tiny), broadcast back; contiguous
+      // id-range shards preserve the (source, id) order across shards
+      val bounds = withTok.groupBy(col(sourceCol))
+        .agg(min(col(idCol)).cast("long").as("__minId"),
+          max(col(idCol)).cast("long").as("__maxId"))
+        .withColumn("__span",
+          idiv(col("__maxId") - col("__minId"), lit(nShards.toLong)) + 1) // ≥ 1
+      val sharded = withTok.join(broadcast(bounds), Seq(sourceCol))
+        .withColumn("__shard", idiv(col(idCol).cast("long") - col("__minId"), col("__span")))
+        .drop("__minId", "__maxId", "__span")
+      // phase 2: intra-shard running sums — nSources × nShards parallel
+      // tasks; the shard-total branch below reads `local`, NOT `sharded`,
+      // so the (source, shard) exchange is built once and reused by both
+      // sides (ReusedExchange — the scan runs once)
+      val wLocal = Window.partitionBy(col(sourceCol), col("__shard")).orderBy(col(idCol))
+      val local = sharded.withColumn("__local_off",
+        sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
+      // phase 3: shard totals (tiny) → cumulative base per shard; the
+      // shard total is the shard's LAST running sum (max(local_off +
+      // n_tokens)), and the per-source window here runs over ≤ nShards
+      // rows, not the corpus
+      val wShard = Window.partitionBy(col(sourceCol)).orderBy(col("__shard"))
+      val shardBases = local.groupBy(col(sourceCol), col("__shard"))
+        .agg(max(col("__local_off") + col("n_tokens")).as("__st"))
+        .withColumn("__base",
+          coalesce(sum(col("__st")).over(wShard) - col("__st"), lit(0L)))
+        .select(col(sourceCol), col("__shard"), col("__base"))
+      // phase 4: global offset = shard base + intra-shard offset
+      local.join(broadcast(shardBases), Seq(sourceCol, "__shard"))
+        .withColumn("start_offset", col("__base") + col("__local_off"))
+        .withColumn("bin", floor(col("start_offset") / capacity))
+        .select(df.columns.map(col) ++
+          Seq(col("n_tokens"), col("start_offset"), col("bin")): _*)
+    }
   }
 
   /** Per-source packing report: bins used, docs, tokens, and the fill of
@@ -37,8 +106,8 @@ object Packing {
     * tokenization time).
     */
   def packingReport(df: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, capacity: Int): DataFrame =
-    assignBins(df, idCol, sourceCol, textCol, capacity)
+      textCol: String, capacity: Int, nShards: Int = DefaultShards): DataFrame =
+    assignBins(df, idCol, sourceCol, textCol, capacity, nShards)
       .groupBy(col(sourceCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .groupBy(col(sourceCol))

@@ -102,8 +102,14 @@ object StreamingDedup {
                 }
                 i += 1
               }
-              ids :+= id; stored :+= sig
-              if (ids.length > maxPerBucket) { ids = ids.tail; stored = stored.tail }
+              // a replayed/duplicate id must NOT be appended again: it
+              // would inflate the FIFO and evict genuinely distinct older
+              // members within the maxPerBucket cap (first-seen signature
+              // wins, consistent with firstSeenWithTtl)
+              if (!ids.contains(id)) {
+                ids :+= id; stored :+= sig
+                if (ids.length > maxPerBucket) { ids = ids.tail; stored = stored.tail }
+              }
             }
             val expiry = math.max(maxTs + ttlMs, wm + 1) // timeout must be > watermark
             state.update(BucketState(ids, stored, expiry))

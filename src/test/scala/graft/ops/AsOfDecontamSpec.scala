@@ -304,6 +304,91 @@ class AsOfDecontamSpec extends AnyFunSuite {
     assert(n == 0.0)
   }
 
+  // ------------------------------------------------------------------
+  // Round-4 fixes
+  // ------------------------------------------------------------------
+  test("as-of join returns the matched row's OWN null payload fields (no back-fill)") {
+    val left = Seq(("u1", 10L, "p1"), ("u1", 30L, "p2")).toDF("user", "ts", "pid")
+    // right rows: t=5 has value 5.0; t=20 (the match for ts=30) has a NULL
+    // value — the output must carry that null, not back-fill 5.0 from t=5
+    val right = Seq(
+      ("u1", 5L, Some(5.0), "r5"),
+      ("u1", 20L, None, "r20")
+    ).toDF("user", "rts", "rval", "rtag")
+    val out = AsOf.joinAsOf(left, right, Seq("user"), "ts", "rts")
+      .select("pid", "rts", "rval", "rtag").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getString(3))).toSet
+    assert(out == Set(("p1", 5L, 5.0, "r5"), ("p2", 20L, null, "r20")),
+      s"matched-row fields must stay atomic: $out")
+  }
+
+  test("decontamination corpus side has NO aggregation below the semi join (scale shape)") {
+    // the per-doc gram dedup is row-local (array_distinct before the
+    // explode) — the only corpus-side shuffle allowed is the final
+    // groupBy(doc_id) over the post-semi-join sliver. An Aggregate below
+    // the semi join's streamed side would be the round-3 corpus-scale
+    // distinct shuffle this pins against.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val corpus = Seq((1L, ("tok " * 20).trim)).toDF("doc_id", "text")
+    val bench = Seq((9L, ("tok " * 10).trim)).toDF("doc_id", "text")
+    val rep = Decontam.contaminationReport(corpus, bench, "text", "doc_id", n = 8)
+    val semis = rep.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, "plan must contain the broadcast semi join")
+    val corpusAggs = semis.flatMap(_.left.collect { case a: Aggregate => a })
+    assert(corpusAggs.isEmpty,
+      s"corpus side must not aggregate before the semi join: $corpusAggs")
+  }
+
+  test("packing: sharded two-phase prefix sum is bitwise-identical at any shard count") {
+    val rng = new scala.util.Random(4242)
+    // sparse, shuffled ids across 3 sources, varied token counts
+    val docs = rng.shuffle((1L to 400L).toList).zipWithIndex.map { case (id, i) =>
+      (id * 1009L % 100000L, s"src${i % 3}",
+        Seq.fill(1 + (i * 7) % 23)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def run(nShards: Int) =
+      Packing.assignBins(docs, "doc_id", "source", "text", capacity = 64, nShards)
+        .select("doc_id", "n_tokens", "start_offset", "bin")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val single = run(1) // the reference one-window-per-source form
+    for (n <- Seq(2, 7, 64, 1000)) {
+      assert(run(n) == single, s"nShards=$n diverged from the single-window form")
+    }
+  }
+
+  test("packing: non-integral id column falls back to the single-window form") {
+    val docs = Seq(("a", "s", "x y"), ("b", "s", "z"), ("c", "s", "p q r"))
+      .toDF("doc_id", "source", "text")
+    val bins = Packing.assignBins(docs, "doc_id", "source", "text", capacity = 3)
+      .select("doc_id", "start_offset").as[(String, Long)].collect().toMap
+    assert(bins == Map("a" -> 0L, "b" -> 2L, "c" -> 3L), bins.toString)
+  }
+
+  test("incremental width cap equals the symmetric run's for buckets straddling the cap") {
+    // 3 corpus + 2 batch near-identical docs share every band bucket →
+    // combined width 5. cap=4: symmetric run drops the bucket (5 > 4) so
+    // the incremental path must emit NO cross pairs; cap=5: both emit all
+    // 3×2 cross pairs.
+    val mk = (i: Long) => (i, Seq.tabulate(30)(j => s"shared$j tok${j % 5}").mkString(" "))
+    val corpus = Seq(mk(2L), mk(4L), mk(6L)).toDF("doc_id", "text")
+    val batch = Seq(mk(101L), mk(103L)).toDF("doc_id", "text")
+    val cs = Dedup.signatures(corpus, "text", "doc_id")
+    val bs = Dedup.signatures(batch, "text", "doc_id")
+    def inc(cap: Int): Set[(Long, Long)] = Dedup.incrementalNearDupPairs(cs, bs, "doc_id",
+      minJaccard = 0.8, maxBucketWidth = cap)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    def full(cap: Int): Set[(Long, Long)] = Dedup.candidatePairsFromSigs(
+        Dedup.signatures(corpus.unionByName(batch), "text", "doc_id"), "doc_id", cap)
+      .as[(Long, Long)].collect().toSet[(Long, Long)]
+      .filter(p => p._1 < 100L && p._2 >= 100L)
+    assert(inc(4) == full(4) && inc(4).isEmpty, s"cap=4: ${inc(4)} vs ${full(4)}")
+    assert(inc(5) == full(5) && inc(5).size == 6, s"cap=5: ${inc(5)} vs ${full(5)}")
+  }
+
   test("repetition signals catch a pathologically repetitive doc") {
     val docs = Seq(
       (1L, Array.fill(50)("spam ham").mkString(" ")),

@@ -25,12 +25,12 @@ class StreamingDedupSpec extends AnyFunSuite {
     Seq.tabulate(40)(j => s"$seed$j word${j % 7} tok$j").mkString(" ")
 
   private def run(batches: Seq[Seq[(Long, String, Timestamp)]], minJaccard: Double,
-      ttlMs: Long = 3600000L): Seq[(Long, Long, Double)] = {
+      ttlMs: Long = 3600000L, maxPerBucket: Int = 64): Seq[(Long, Long, Double)] = {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
     val q = StreamingDedup.nearDupMatches(
         in.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
-        minJaccard = minJaccard, ttlMs = ttlMs)
+        minJaccard = minJaccard, maxPerBucket = maxPerBucket, ttlMs = ttlMs)
       .writeStream.format("memory").queryName("ndmatches")
       .outputMode(OutputMode.Append()).start()
     batches.foreach { b => in.addData(b); q.processAllAvailable() }
@@ -105,5 +105,22 @@ class StreamingDedupSpec extends AnyFunSuite {
     ), minJaccard = 0.9, ttlMs = 3600000L)
     assert(matches.exists(m => m._1 == 2L && m._2 == 1L),
       s"doc 2 within TTL must match: $matches")
+  }
+
+  test("replayed doc id does not inflate the FIFO or evict older distinct members") {
+    // maxPerBucket=2, exact-dup texts so every band bucket is shared.
+    // State after batches 1+2: [A, B]. Batch 3 REPLAYS B — a duplicate id
+    // must not be appended again (it would evict A within the cap). Batch 4
+    // doc C must therefore still match A (the oldest stored member).
+    val t = base("replay")
+    val matches = run(Seq(
+      Seq((1L, t, ts("10:00:00"))), // A
+      Seq((2L, t, ts("10:00:05"))), // B → matches A
+      Seq((2L, t, ts("10:00:10"))), // replay of B
+      Seq((3L, t, ts("10:00:15"))) // C
+    ), minJaccard = 0.9, maxPerBucket = 2)
+    val cMatches = matches.filter(_._1 == 3L).map(_._2).distinct
+    assert(cMatches == Seq(1L),
+      s"C must match A — replay of B must not have evicted it: $matches")
   }
 }

@@ -95,9 +95,10 @@ def near_dup_pairs(docs, min_jaccard=0.7, max_bucket_width=DEFAULT_MAX_BUCKET_WI
 def incremental_near_dup_pairs(corpus, batch, min_jaccard=0.7,
                                max_bucket_width=DEFAULT_MAX_BUCKET_WIDTH):
     """Mirrors Dedup.incrementalNearDupPairs: batch vs existing-corpus LSH
-    with per-side width caps. A probed corpus bucket keeps ALL its members
-    (the Spark semi-join is per-row on the bucket key), so the corpus-side
-    width is the full bucket width. → [(corpus_id, batch_id, est)]."""
+    with the COMBINED bucket-width cap (corpus members + batch members) —
+    exactly the width the full symmetric run over corpus ∪ batch would see,
+    so cross pairs match candidate_pairs(corpus + batch) even for buckets
+    straddling the cap. → [(corpus_id, batch_id, est)]."""
     sc = {i: minhash_signature(t) for i, t in corpus}
     sb = {i: minhash_signature(t) for i, t in batch}
     cb = {}
@@ -110,10 +111,8 @@ def incremental_near_dup_pairs(corpus, batch, min_jaccard=0.7,
             bb.setdefault(k, []).append(i)
     pairs = set()
     for k, bids in bb.items():
-        if len(bids) > max_bucket_width:
-            continue
         cids = cb.get(k)
-        if not cids or len(cids) > max_bucket_width:
+        if not cids or len(cids) + len(bids) > max_bucket_width:
             continue
         for a in cids:
             for b in bids:
