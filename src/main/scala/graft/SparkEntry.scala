@@ -195,6 +195,15 @@ object SparkEntry {
       Dedup.chunkDupGroups(t(s, dir, "documents"), "text", "doc_id", chunkLen = 80)
     }),
 
+    // UNALIGNED exact-substring dedup (the true Lee et al. tier): windows
+    // at every char offset, content-defined 1/16 sampling — catches a
+    // duplicated passage at any relative alignment, which fixed-offset
+    // q37 chunking provably misses; exact + SQL-expressible → oracle
+    "q52_window_dedup" -> ((s, dir) => {
+      Dedup.windowDupGroups(t(s, dir, "documents"), "text", "doc_id",
+        windowLen = 40, hexPrefix = "0")
+    }),
+
     "q15_quality_scores" -> ((s, dir) => {
       TextOps.withQualitySignals(t(s, dir, "documents"))
         .groupBy(col("source"))
@@ -335,7 +344,7 @@ object SparkEntry {
 
     "q20_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("simhash", Dedup.simhashUdf(col("text")))
+        .withColumn("simhash", graft.functions.SimHash64Expr.simhash64(col("text")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("simhash")).as("n_distinct_simhash"))
@@ -862,6 +871,18 @@ object SparkEntry {
          SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
                 count(*) AS n_occurrences, min(doc_id) AS keeper_id
          FROM chunks GROUP BY chunk_hash HAVING count(*) > 1""",
+
+    "q52_window_dedup" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  md5(substring(text, CAST(u.k AS INT) + 1, 40)) AS window_hash
+           FROM documents,
+                LATERAL unnest(range(0, length(text) - 40 + 1)) AS u(k)
+           WHERE length(text) >= 40)
+         SELECT window_hash, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occurrences, min(doc_id) AS keeper_id
+         FROM w WHERE window_hash LIKE '0%'
+         GROUP BY window_hash HAVING count(*) > 1""",
 
     "q40_decontamination" ->
       """WITH docs AS (SELECT doc_id, text, lang FROM documents),

@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSignatureDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
+    ext.injectFunction(GraftExtensions.simhash64Descriptor)
+    ext.injectFunction(GraftExtensions.windowFingerprintsDescriptor)
   }
 }
 
@@ -57,10 +59,39 @@ object GraftExtensions {
       SigAgreementExpr(children.head, children(1))
     })
 
+  val simhash64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "simhash64 takes exactly one argument")
+      SimHash64Expr(children.head)
+    })
+
+  val windowFingerprintsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("window_fingerprints"),
+    new ExpressionInfo(
+      classOf[WindowFingerprintsExpr].getName, "window_fingerprints"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "window_fingerprints takes (text, windowLen, selectBits)")
+      def intLit(e: Expression, name: String): Int = {
+        require(e.foldable, s"window_fingerprints $name must be a literal")
+        e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"window_fingerprints $name must be an integer literal, got $other")
+        }
+      }
+      WindowFingerprintsExpr(children.head,
+        intLit(children(1), "windowLen"), intLit(children(2), "selectBits"))
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(rollingFingerprintDescriptor, minhashSignatureDescriptor,
-      cosineSimDescriptor, sigAgreementDescriptor).foreach {
+      cosineSimDescriptor, sigAgreementDescriptor, simhash64Descriptor,
+      windowFingerprintsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

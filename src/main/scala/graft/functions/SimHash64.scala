@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 64-bit SimHash (weighted bit-vote
+  * over whitespace tokens) — replaces the last hot-path Scala UDF in the
+  * dedup stack (graft.ops.Dedup.simhashNearDups computes one simhash per
+  * document before banding; behind a UDF that pass pays closure boxing and
+  * blocks WholeStageCodegen).
+  *
+  * Delegates to the same `Dedup.simhash64` the UDF wrapped, so the value
+  * is bit-identical by construction (additionally pinned by spec and the
+  * Python crosscheck's simhash goldens).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64Expr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Expr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+
+  /** Static so generated code calls it directly. */
+  def compute(s: UTF8String): Long =
+    graft.ops.Dedup.simhash64(if (s == null) "" else s.toString)
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.util.Hashing
+
+/** Native Catalyst expression for content-defined window fingerprints —
+  * the scale path of UNALIGNED exact-substring dedup (Lee et al. 2022
+  * tier; graft.ops.Dedup.windowDupGroupsRolling).
+  *
+  * Semantics: a Karp–Rabin rolling polynomial hash of every
+  * `windowLen`-char window (ONE multiply-add per position, O(len) total —
+  * not O(len·windowLen) like hashing each window from scratch), finalised
+  * through splitmix64 for bit mixing; a window is EMITTED only when the
+  * low `selectBits` bits of the mixed hash are zero (expected 1 window per
+  * 2^selectBits positions). Selection depends on window CONTENT only, so
+  * two documents sharing any substring of sufficient length select the
+  * same windows inside it regardless of each document's alignment — the
+  * property fixed-offset chunking (Dedup.chunkDupGroups) lacks.
+  *
+  * Why an Expression: the rolling scan is the dominant per-row cost; the
+  * static call stays inside WholeStageCodegen and the output is primitive
+  * UnsafeArrayData (no Seq boxing).
+  */
+case class WindowFingerprintsExpr(child: Expression, windowLen: Int, selectBits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"window_fingerprints requires a string argument, got ${child.dataType}")
+    else if (windowLen <= 0)
+      TypeCheckResult.TypeCheckFailure(s"windowLen must be positive: $windowLen")
+    else if (selectBits < 0 || selectBits > 62)
+      TypeCheckResult.TypeCheckFailure(s"selectBits out of range: $selectBits")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "window_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowFingerprintsExpr.compute(input.asInstanceOf[UTF8String], windowLen, selectBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowFingerprintsExpr.compute($c, $windowLen, $selectBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowFingerprintsExpr {
+
+  private val Base = 1000003L
+
+  /** Static so generated code calls it directly. Selected fingerprints in
+    * position order, duplicates kept (occurrence counts need them).
+    */
+  def compute(s: UTF8String, windowLen: Int, selectBits: Int): ArrayData = {
+    val str = if (s == null) "" else s.toString
+    val n = str.length
+    if (n < windowLen) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val mask = (1L << selectBits) - 1L
+    // pow = Base^(windowLen-1) mod 2^64 — the coefficient of the outgoing char
+    var pow = 1L
+    var i = 1
+    while (i < windowLen) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < windowLen) { h = h * Base + str.charAt(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var fp = Hashing.splitmix64(h)
+    if ((fp & mask) == 0L) out += fp
+    i = windowLen
+    while (i < n) {
+      h = (h - str.charAt(i - windowLen) * pow) * Base + str.charAt(i)
+      fp = Hashing.splitmix64(h)
+      if ((fp & mask) == 0L) out += fp
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def window_fingerprints(c: Column, windowLen: Int, selectBits: Int): Column =
+    ColumnBridge.column(
+      WindowFingerprintsExpr(ColumnBridge.expression(c), windowLen, selectBits))
+}

@@ -455,6 +455,66 @@ object Dedup {
       .filter(col("n_occurrences") > 1)
   }
 
+  /** UNALIGNED exact-substring duplication — the true Lee et al. 2022 tier
+    * [[chunkDupGroups]] approximates: fixed-offset chunks provably miss a
+    * duplicated passage whose offsets differ between documents by a
+    * non-multiple of the chunk length. Here the fingerprint is taken of
+    * the `windowLen`-char window at EVERY character position, and a window
+    * is KEPT only when its hash satisfies a content-defined predicate
+    * (md5 hex starts with `hexPrefix` — expected 1-in-16^len(prefix)
+    * sampling). Selection depends on window content alone, so two docs
+    * sharing a long-enough substring select identical windows inside it at
+    * ANY relative alignment (a shared P-char passage contains
+    * P − windowLen + 1 candidate windows; with the default 1/16 sampling a
+    * ≥ ~100-char shared passage is flagged with near-certainty, and
+    * deterministically so — the sample is a pure function of content).
+    *
+    * Returns (window_hash, n_docs, n_occurrences, keeper_id) for every
+    * selected window occurring more than once, like [[chunkDupGroups]].
+    *
+    * This form is EXACT and SQL-expressible (DuckDB oracle q52) but pays
+    * O(len · windowLen) hashing; [[windowDupGroupsRolling]] is the
+    * same operator over an O(len) Karp–Rabin rolling fingerprint (native
+    * codegen expression) — the form to run at corpus scale. Both are one
+    * narrow pass + one uniform-key groupBy, zero joins.
+    */
+  def windowDupGroups(df: DataFrame, textCol: String, idCol: String,
+      windowLen: Int = 40, hexPrefix: String = "0"): DataFrame = {
+    require(windowLen > 0, s"windowLen must be positive: $windowLen")
+    require(hexPrefix.nonEmpty && hexPrefix.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"hexPrefix must be lowercase hex: $hexPrefix")
+    df.filter(length(col(textCol)) >= windowLen)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), length(col(textCol)).cast("long") - windowLen)).as("k"))
+      .select(col(idCol),
+        md5(col(textCol).substr(col("k").cast("int") + 1, lit(windowLen))).as("window_hash"))
+      .filter(col("window_hash").startsWith(hexPrefix))
+      .groupBy(col("window_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("keeper_id"))
+      .filter(col("n_occurrences") > 1)
+  }
+
+  /** Scale form of [[windowDupGroups]]: O(len) rolling Karp–Rabin window
+    * fingerprints (native codegen `WindowFingerprintsExpr`), selected where
+    * the mixed hash's low `selectBits` bits are zero (expected
+    * 1-in-2^selectBits sampling — selectBits = 4 matches the md5 form's
+    * default density). Same output shape; the fingerprints themselves
+    * differ from the md5 form (different hash), the FLAGGED DOC SETS agree
+    * on any planted duplicate (pinned by spec).
+    */
+  def windowDupGroupsRolling(df: DataFrame, textCol: String, idCol: String,
+      windowLen: Int = 40, selectBits: Int = 4): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.WindowFingerprintsExpr
+        .window_fingerprints(col(textCol), windowLen, selectBits)).as("window_fp"))
+      .groupBy(col("window_fp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("keeper_id"))
+      .filter(col("n_occurrences") > 1)
+
   /** Exact character-shingle Jaccard between two texts (verification). */
   def exactJaccard(a: String, b: String, shingleLen: Int = 7): Double = {
     val sa = shingleHashes(a, shingleLen).toSet
@@ -508,7 +568,11 @@ object Dedup {
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val nBands = maxHamming + 1
-    val withSim = df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
+    // native codegen expression (was a Scala UDF) — values bit-identical
+    // by construction (the expression delegates to simhash64; pinned by
+    // FunctionsSpec)
+    val withSim = df.select(col(idCol),
+      graft.functions.SimHash64Expr.simhash64(col(textCol)).as("simhash"))
     val bandCols = (0 until nBands).map { b =>
       val lo = b * 64 / nBands
       val hi = (b + 1) * 64 / nBands

@@ -118,6 +118,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("sig_agreement") && plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
 
+  test("native simhash64 equals the UDF form and stays in codegen") {
+    val docs = spark.range(50)
+      .select(concat(lit("Token stream number "), col("id"),
+        lit("  with\tmixed   whitespace and CASE folding ÄÖÜ")).as("text"))
+    val rows = docs.select(
+      SimHash64Expr.simhash64(col("text")).as("native"),
+      graft.ops.Dedup.simhashUdf(col("text")).as("viaUdf")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    val plan = docs.select(SimHash64Expr.simhash64(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("simhash64") && plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
+  test("SQL registration: simhash64 and window_fingerprints callable from SQL") {
+    GraftExtensions.install(spark)
+    spark.createDataset(Seq("the quick brown fox jumps over the lazy dog"))
+      .toDF("text").createOrReplaceTempView("sh_test")
+    val sh = spark.sql("SELECT simhash64(text) AS h FROM sh_test").as[Long].head()
+    assert(sh == graft.ops.Dedup.simhash64("the quick brown fox jumps over the lazy dog"))
+    // selectBits=0 keeps every window: n - L + 1 fingerprints
+    val n = spark.sql(
+      "SELECT size(window_fingerprints(text, 10, 0)) AS n FROM sh_test")
+      .as[Int].head()
+    assert(n == "the quick brown fox jumps over the lazy dog".length - 10 + 1)
+  }
+
   test("SQL registration: minhash_signature callable from SQL") {
     GraftExtensions.install(spark)
     spark.createDataset(Seq("alpha beta gamma delta epsilon"))

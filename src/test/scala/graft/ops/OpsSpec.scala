@@ -47,6 +47,58 @@ class OpsSpec extends AnyFunSuite {
     assert(groups == Set((2L, 2L, 1L), (1L, 2L, 4L)), s"got $groups")
   }
 
+  test("window dedup flags an UNALIGNED duplicated passage that chunk dedup misses") {
+    // a 300-char passage planted at offset 0 in doc 1 and offset 40 in
+    // doc 2 — 40 is not a multiple of the 80-char chunk length, so no
+    // fixed-offset chunk of doc 1 equals any chunk of doc 2
+    val rng = new scala.util.Random(99)
+    // aperiodic passage (a periodic one has too few DISTINCT windows for
+    // the 1/16 content sampling to be near-certain)
+    val passage = Seq.fill(300)(('a' + rng.nextInt(26)).toChar).mkString
+    def noise(n: Int) = Seq.fill(n)(('A' + rng.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, passage + noise(120)),
+      (2L, noise(40) + passage + noise(60)),
+      (3L, noise(400))
+    ).toDF("doc_id", "text")
+
+    val chunkFlagged = Dedup.chunkDupGroups(docs, "text", "doc_id", chunkLen = 80)
+      .filter($"n_docs" > 1).count()
+    assert(chunkFlagged == 0L, "fixed-offset chunking must miss the unaligned passage")
+
+    val winCross = Dedup.windowDupGroups(docs, "text", "doc_id", windowLen = 40)
+      .filter($"n_docs" === 2 && $"keeper_id" === 1L).count()
+    assert(winCross > 0L, "md5 window sampling must flag the shared passage")
+
+    val rollCross = Dedup.windowDupGroupsRolling(docs, "text", "doc_id",
+        windowLen = 40, selectBits = 4)
+      .filter($"n_docs" === 2 && $"keeper_id" === 1L).count()
+    assert(rollCross > 0L, "rolling window sampling must flag the shared passage")
+  }
+
+  test("rolling window fingerprints equal a from-scratch per-window recomputation") {
+    // the O(len) Karp–Rabin recurrence must produce exactly the hash a
+    // direct O(windowLen) scan of each window produces (then the same
+    // splitmix64 finalisation + low-bits selection)
+    val text = "The quick brown fox jumps over the lazy dog 0123456789 éü中文 end."
+    val L = 7
+    val bits = 2
+    def direct(s: String): Seq[Long] = {
+      (0 to s.length - L).flatMap { i =>
+        var h = 0L
+        (i until i + L).foreach(j => h = h * 1000003L + s.charAt(j))
+        val fp = graft.util.Hashing.splitmix64(h)
+        if ((fp & ((1L << bits) - 1)) == 0L) Some(fp) else None
+      }
+    }
+    val got = Seq(text).toDF("text")
+      .select(graft.functions.WindowFingerprintsExpr
+        .window_fingerprints($"text", L, bits).as("fps"))
+      .as[Seq[Long]].head()
+    assert(got == direct(text), s"got $got want ${direct(text)}")
+    assert(got.nonEmpty, "test text should select at least one window at 1/4 density")
+  }
+
   test("minhash: identical texts identical signatures; near-dups mostly agree; distinct texts mostly differ") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home"
     val aNear = a.replace("lazy", "sleepy") // one-word edit
