@@ -65,13 +65,13 @@ object Detect {
       case "txt" =>
         val scrubUdf = udf { (text: String) =>
           val r = Scrubber.scrub(text)
-          (r.hasPii, r.scrubbed, r.piiTypes, r.error)
+          (r.hasPii, r.scrubbed, r.piiTypes, r.entities, r.error)
         }
         Uploads.readTxt(spark, path)
           .withColumn("r", scrubUdf(col("line")))
           .select(col("line"), col("r._1").as("hasPii"),
             col("r._2").as("redactedText"), col("r._3").as("piiTypes"),
-            col("r._4").as("error"))
+            col("r._4").as("entities"), col("r._5").as("error"))
       case "csv" =>
         try Uploads.scrubGrid(Uploads.readCsv(spark, path), columns, name, "csv")
         catch {

@@ -1,0 +1,29 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+
+/** Serving entry point — the reference's `make serve` / gunicorn lifecycle
+  * (reference Makefile:97, src/api.py:532-556):
+  *
+  *   spark-submit --class graft.serve.ServeMain graft.jar <modelDir> [port]
+  *
+  * Starts one SparkSession and the HTTP API on top of it; blocks until
+  * SIGTERM. Local default mirrors the test harness; on a cluster the
+  * session inherits whatever master spark-submit provides.
+  */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ServeMain <modelDir> [port]")
+    val modelDir = args(0)
+    val port = if (args.length > 1) args(1).toInt else 8000
+    val spark = SparkSession.builder()
+      .appName("graft-serve")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val api = new HttpApi(spark, modelDir)
+    val bound = api.start(port)
+    println(s"[serve] graft detect API listening on 127.0.0.1:$bound (model: $modelDir)")
+    sys.addShutdownHook { api.stop(); spark.stop() }
+    Thread.currentThread().join() // serve until killed
+  }
+}
