@@ -286,9 +286,9 @@ object Similarity {
     *
     * Scale shape: centroids train once on a hash-spread sample and
     * broadcast; assignment is one map pass; the only shuffle keys by cell.
-    * Cells wider than `maxCellWidth` are exempted from dedup (their rows
-    * all survive) — the honest guard against a degenerate cell exploding
-    * the self-join; widen nCentroids rather than maxCellWidth.
+    * Cells wider than `maxCellWidth` are recursively SPLIT with per-cell
+    * sub-centroids (see [[semanticDedupWithCentroids]]); pass
+    * `splitOversized = false` for the round-3 exemption guard instead.
     *
     * NOTE the centroid training triggers a sample collect over `emb` before
     * the lazy dedup plan is built — at scale persist `emb` (or train once
@@ -298,10 +298,11 @@ object Similarity {
   def semanticDedup(emb: DataFrame, minCosine: Double,
       nCentroids: Int = 16, sampleSize: Int = 2000, maxCellWidth: Int = 4096,
       nProbe: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      splitOversized: Boolean = true): DataFrame =
     semanticDedupWithCentroids(emb, minCosine,
       trainIvfCentroids(emb, nCentroids, sampleSize, idCol, vecCol),
-      maxCellWidth, nProbe, idCol, vecCol)
+      maxCellWidth, nProbe, idCol, vecCol, splitOversized)
 
   /** Semantic dedup against a pre-trained (or loaded) centroid table.
     *
@@ -317,32 +318,138 @@ object Similarity {
     * at 8.6× the time. nProbe=1 is the SemDeDup paper's single-assignment
     * form and the right default; for recall beyond ~0.85 prefer
     * [[embeddingNearDups]] (OR-amplified sign-LSH) over raising nProbe.
+    *
+    * Oversized cells (width > `maxCellWidth`, the m²-pair guard) are
+    * handled by RECURSIVE SPLIT when `splitOversized` (the default): each
+    * oversized cell trains its own sub-centroids from a hash-spread sample
+    * of ITS members and re-assigns them, repeating up to `maxSplitDepth`
+    * levels — so a degenerate embedding class (boilerplate, all-zero
+    * vectors: exactly where dups concentrate) is still deduplicated
+    * instead of silently exempted. A cell that no further split can
+    * separate (near-identical mass — sub-centroids collapse or depth is
+    * exhausted) falls back to ONE-VS-REPRESENTATIVE: every member within
+    * `minCosine` of the cell's smallest-id member is dropped. The fallback
+    * is linear in the cell, SOUND (only true near-dups of the rep drop —
+    * never a false drop) and exactly right for the identical-mass case;
+    * members far from the rep survive (bounded recall loss, logged).
+    * `splitOversized = false` restores the round-3 exemption semantics.
     */
   def semanticDedupWithCentroids(emb: DataFrame, minCosine: Double,
       centroids: Array[Array[Double]], maxCellWidth: Int = 4096,
       nProbe: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      splitOversized: Boolean = true, maxSplitDepth: Int = 4,
+      subCentroids: Int = 8, subSampleSize: Int = 512): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
-    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    val spark = emb.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) =>
-      if (v == null) Seq.empty[Int]
-      else if (nProbe == 1) Seq(nearestCentroid(v.toArray, bc.value))
-      else nearestCentroids(v.toArray, bc.value, nProbe)
+      if (v == null) Seq.empty[String]
+      else if (nProbe == 1) Seq(nearestCentroid(v.toArray, bc.value).toString)
+      else nearestCentroids(v.toArray, bc.value, nProbe).map(_.toString)
     }
-    val cells = emb.select(col(idCol), col(vecCol),
+    val cells0 = emb.select(col(idCol), col(vecCol),
       explode(assignUdf(col(vecCol))).as("cell"))
+    val cells =
+      if (!splitOversized) cells0
+      else splitOversizedCells(cells0, maxCellWidth, maxSplitDepth,
+        subCentroids, subSampleSize, idCol, vecCol)
     // cell width via window count over the same shuffle the self-join reuses
     val w = Window.partitionBy(col("cell"))
-    val pruned = cells.withColumn("__w", count(lit(1)).over(w))
-      .filter(col("__w") <= maxCellWidth)
+    val withW = cells.withColumn("__w", count(lit(1)).over(w))
+    val pruned = withW.filter(col("__w") <= maxCellWidth)
     val l = pruned.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = pruned.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"))
-    val dropIds = l.join(r, Seq("cell"))
+    val pairDrops = l.join(r, Seq("cell"))
       .filter(col("a") < col("b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= minCosine)
-      .select(col("b").as(idCol)).distinct()
+      .select(col("b").as(idCol))
+    val dropIds =
+      if (!splitOversized) pairDrops.distinct()
+      else {
+        // unsplittable leftovers: drop members near the cell's min-id rep
+        val over = withW.filter(col("__w") > maxCellWidth)
+        val repIds = over.groupBy(col("cell")).agg(min(col(idCol)).as("__repId"))
+        val repVecs = over
+          .select(col("cell").as("__c2"), col(idCol).as("__id2"),
+            col(vecCol).as("__repVec"))
+          .join(broadcast(repIds),
+            col("__c2") === col("cell") && col("__id2") === col("__repId"))
+          .select(col("cell"), col("__repId"), col("__repVec"))
+        val repDrops = over.join(broadcast(repVecs), Seq("cell"))
+          .filter(col(idCol) =!= col("__repId") &&
+            cosine(col(vecCol), col("__repVec")) >= minCosine)
+          .select(col(idCol))
+        pairDrops.unionByName(repDrops).distinct()
+      }
     emb.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Iterative oversized-cell splitting: per depth, ONE tiny width
+    * aggregation finds cells past the cap, ONE batched sampling job pulls
+    * a hash-spread sample per oversized cell (window top-n — bounded by
+    * #oversized · subSampleSize rows), sub-centroids train driver-side
+    * (k-means over ≤ subSampleSize vectors per cell) and broadcast back,
+    * and members re-assign to `cell.sub` path keys in one map pass. Cells
+    * whose sub-centroids collapse (identical sample — nothing separates)
+    * stop splitting and are left for the caller's representative fallback.
+    * Each round is localCheckpoint-cut so lineage stays flat. Everything
+    * is a pure function of (ids, vectors) — deterministic at any
+    * parallelism.
+    */
+  private def splitOversizedCells(cells0: DataFrame, maxCellWidth: Int,
+      maxSplitDepth: Int, subCentroids: Int, subSampleSize: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = cells0.sparkSession
+    var cells = cells0
+    var depth = 0
+    var done = Set.empty[String] // cells that refused to split (degenerate)
+    var continue = maxSplitDepth > 0
+    while (continue) {
+      val widths = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCellWidth)
+        .collect().map(r => r.getString(0)).filterNot(done).toSet
+      if (widths.isEmpty || depth >= maxSplitDepth) continue = false
+      else {
+        val overB = spark.sparkContext.broadcast(widths)
+        val wRank = Window.partitionBy(col("cell")).orderBy(col("__h").asc)
+        val samples = cells
+          .filter(udf((c: String) => overB.value.contains(c)).apply(col("cell")))
+          .select(col("cell"), col(vecCol).as("__v"), xxhash64(col(idCol)).as("__h"))
+          .withColumn("__r", row_number().over(wRank))
+          .filter(col("__r") <= subSampleSize)
+          .select(col("cell"), col("__v"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (c, rows) =>
+            c -> rows.map(_.getSeq[Float](1).toArray)
+          }
+        val subCents: Map[String, Array[Array[Double]]] = samples.map { case (c, vs) =>
+          c -> trainCentroids(vs, subCentroids)
+        }
+        // a collapsed centroid set (all equal) cannot separate the cell
+        val (splittable, degenerate) = subCents.partition { case (_, cs) =>
+          cs.exists(c => !java.util.Arrays.equals(c, cs.head))
+        }
+        done ++= degenerate.keys
+        if (splittable.isEmpty) continue = false
+        else {
+          val centsB = spark.sparkContext.broadcast(splittable)
+          val reassignUdf = udf { (c: String, v: Seq[Float]) =>
+            centsB.value.get(c) match {
+              case Some(cs) if v != null => c + "." + nearestCentroid(v.toArray, cs)
+              case _ => c
+            }
+          }
+          cells = cells
+            .withColumn("cell", reassignUdf(col("cell"), col(vecCol)))
+            .localCheckpoint()
+          depth += 1
+        }
+      }
+    }
+    cells
   }
 
   /** Bucketed ANN: candidates = bucket collisions in any table; rank by

@@ -108,8 +108,13 @@ def semantic_dedup_drops(emb, min_cosine, n_centroids=16, sample_size=2000,
     vecs = dict(emb)
     drops = set()
     for ids in cells.values():
-        if len(ids) > max_cell_width:
-            continue
+        # the JVM side now recursively SPLITS oversized cells (round 4,
+        # Similarity.semanticDedup splitOversized=true); this port does not
+        # model the split, so make the assumption loud instead of silently
+        # diverging if a future scale factor ever grows a cell past the cap
+        assert len(ids) <= max_cell_width, (
+            f"cell width {len(ids)} > {max_cell_width}: port the recursive "
+            "split before trusting this crosscheck")
         ids = sorted(ids)
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
