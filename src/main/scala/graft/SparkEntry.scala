@@ -342,6 +342,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
     }),
 
+    // the incremental-curation LIFECYCLE (graft.ops.CurationStore): two
+    // consecutive shards through the snapshot-logged signature store —
+    // batch 1 (even ids) curates into an empty store; batch 2 (odd ids +
+    // planted zz9 variants of every batch-1 doc) must drop exactly the
+    // variants whose base SURVIVED batch 1. sum_kept_ids pins the exact
+    // keep set; recomputed end-to-end by the Python crosscheck.
+    "q53_store_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q53-store").toString
+      val cfg = graft.ops.Curation.Config(minJaccard = 0.85)
+      val batch1 = docs.filter(col("doc_id") % 2 === 0)
+      val batch2 = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(batch1.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9marker")).as("text")))
+      val (c1, r1) = graft.ops.CurationStore.ingestBatch(batch1, root,
+        cfg = cfg, minJaccard = 0.85)
+      val s1 = c1.agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0)
+      val (c2, r2) = graft.ops.CurationStore.ingestBatch(batch2, root,
+        cfg = cfg, minJaccard = 0.85)
+      val s2 = c2.agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0)
+      Seq(
+        (r1.batchId, r1.nArrived, r1.nAfterExact, r1.nAfterCorpusDedup,
+          r1.nAfterIntraDedup, r1.nCurated, s1),
+        (r2.batchId, r2.nArrived, r2.nAfterExact, r2.nAfterCorpusDedup,
+          r2.nAfterIntraDedup, r2.nCurated, s2))
+        .toDF("batch", "n_arrived", "n_after_exact", "n_after_corpus",
+          "n_after_intra", "n_curated", "sum_kept_ids")
+    }),
+
     "q20_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("simhash", graft.functions.SimHash64Expr.simhash64(col("text")))

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** The incremental-curation lifecycle: two consecutive batches through the
+  * snapshot-logged signature store, with an INDEPENDENT driver-side
+  * recomputation (plain Scala loops over minhash signatures — no Spark
+  * plans) pinning every keep/drop decision, in the same spirit as the
+  * Python crosscheck.
+  */
+class CurationStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def goodText(i: Long): String =
+    Seq.tabulate(40)(j => s"w${i}x$j token${(i * 31 + j) % 97} body$j").mkString(" ")
+
+  // ------------------------------------------------------------------
+  // Independent recomputation (mirrors the graftcheck port structure):
+  // exact dedup by text → near-dup vs store (greedy, LSH bands, est ≥ th)
+  // → intra near-dup (drop b with any smaller-id pair) → quality gate
+  // ------------------------------------------------------------------
+  private def bands(sig: Array[Long]): Seq[(Int, Int)] =
+    (0 until Dedup.Bands).map { b =>
+      val slice = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand).map(sig)
+      // same bucket value as the plan's hash(...) is NOT needed — only
+      // equality of the band slice matters for collision detection here
+      (b, slice.hashCode())
+    }
+
+  private def est(a: Array[Long], b: Array[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+  private def replay(docs: Seq[(Long, String)], store: Map[Long, Array[Long]],
+      minJaccard: Double, cfg: Curation.Config): (Set[Long], Map[Long, Array[Long]]) = {
+    // exact dedup: keep min id per text
+    val exact = docs.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq.sortBy(_._1)
+    val sigs = exact.map { case (i, t) => i -> Dedup.minhashSignature(t) }.toMap
+    // vs store: drop any batch doc sharing a band with a store sig at est ≥ th
+    val storeBuckets = store.toSeq.flatMap { case (i, s) => bands(s).map(bb => bb -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val afterCorpus = exact.filter { case (i, _) =>
+      val s = sigs(i)
+      !bands(s).exists { bb =>
+        storeBuckets.getOrElse(bb, Seq.empty).exists(ci => est(s, store(ci)) >= minJaccard)
+      }
+    }
+    // intra: drop b when any smaller-id a shares a band and est ≥ th
+    val ids = afterCorpus.map(_._1)
+    val afterIntra = afterCorpus.filter { case (b, _) =>
+      !ids.exists(a => a < b && bands(sigs(a)).toSet.intersect(bands(sigs(b)).toSet).nonEmpty &&
+        est(sigs(a), sigs(b)) >= minJaccard)
+    }
+    // quality gate (same formulas as TextOps)
+    val curated = afterIntra.filter { case (_, t) =>
+      val alnum = if (t.isEmpty) 0.0 else t.count(_.isLetterOrDigit).toDouble / t.length
+      val toks = if (t.trim.isEmpty) 0 else t.trim.split("\\s+").length
+      alnum >= cfg.minAlnumRatio && toks >= cfg.minTokens && toks <= cfg.maxTokens
+    }
+    (curated.map(_._1).toSet, curated.map { case (i, _) => i -> sigs(i) }.toMap)
+  }
+
+  test("two-batch lifecycle: batch 2 dedups against batch 1 SURVIVORS via the updated store") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val cfg = Curation.Config(minJaccard = 0.85)
+
+    val b1docs = Seq(
+      (1L, goodText(1)), (2L, goodText(2)), (3L, goodText(3)),
+      (4L, goodText(4)), (5L, goodText(5)), (6L, goodText(6)),
+      (7L, goodText(1)), // exact copy of doc 1 → exact-dropped
+      (8L, goodText(2) + " zz9"), // near-dup of doc 2 → intra-dropped
+      (9L, goodText(9) + " @@@@" * 200) // distinct but low alnum → quality-dropped
+    )
+    val (curated1, rep1) = CurationStore.ingestBatch(
+      b1docs.toDF("doc_id", "text"), root, cfg = cfg, minJaccard = 0.85)
+    assert(rep1.nArrived == 9 && rep1.nAfterExact == 8, rep1.toString)
+    assert(rep1.nAfterCorpusDedup == 8, "empty store must not drop anything")
+    val kept1 = curated1.select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 2L, 3L, 4L, 5L, 6L), s"batch1 kept: $kept1")
+    assert(rep1.nAfterIntraDedup == 7 && rep1.nCurated == 6, rep1.toString)
+
+    // ONLY survivor signatures enter the store (doc 9's sig must be absent)
+    val storeIds1 = CurationStore.committedSigs(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(storeIds1 == kept1, s"store must hold exactly the survivors: $storeIds1")
+
+    // independent recomputation of batch 1
+    val (replay1, replayStore1) = replay(b1docs, Map.empty, 0.85, cfg)
+    assert(replay1 == kept1, s"driver replay disagrees: $replay1 vs $kept1")
+
+    val b2docs = Seq(
+      (101L, goodText(3) + " zz9"), // near-dup of batch-1 SURVIVOR 3 → store-dropped
+      (103L, goodText(103)), // fresh → kept
+      (104L, goodText(104)) // fresh → kept
+    )
+    val (curated2, rep2) = CurationStore.ingestBatch(
+      b2docs.toDF("doc_id", "text"), root, cfg = cfg, minJaccard = 0.85)
+    val kept2 = curated2.select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(103L, 104L), s"batch2 kept: $kept2")
+    assert(rep2.nArrived == 3 && rep2.nAfterCorpusDedup == 2 && rep2.nCurated == 2,
+      rep2.toString)
+
+    // independent recomputation of batch 2 against the replayed store
+    val (replay2, _) = replay(b2docs, replayStore1, 0.85, cfg)
+    assert(replay2 == kept2, s"driver replay disagrees on batch 2: $replay2 vs $kept2")
+
+    // snapshot chain + store contents after two commits
+    val snaps = CurationStore.snapshots(spark, root)
+    assert(snaps.map(_.version) == Seq(1, 2) && snaps.last.parent == 1)
+    assert(snaps.last.committedBatches == Set(1, 2))
+    assert(snaps.last.counts.toMap == Map(1 -> 6L, 2 -> 2L), snaps.last.counts.toString)
+    val store2 = CurationStore.committedSigs(spark, root)
+    assert(store2.count() == 8L)
+    assert(store2.select("batch").distinct().as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("uncommitted partial data is invisible; ingest overwrites it atomically") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store2").toString
+    // simulate a crashed ingest: partition files exist, no snapshot
+    Seq((999L, Array(1L, 2L), 1))
+      .toDF("doc_id", "sig", "batch")
+      .write.parquet(s"$root/data/batch=1")
+    assert(CurationStore.committedSigs(spark, root).count() == 0L,
+      "data without a snapshot must be invisible")
+    val (_, rep) = CurationStore.ingestBatch(
+      Seq((1L, goodText(1))).toDF("doc_id", "text"), root)
+    assert(rep.version == 1 && rep.nCurated == 1)
+    val ids = CurationStore.committedSigs(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L), s"crashed leftovers must be replaced: $ids")
+  }
+}

@@ -124,6 +124,79 @@ def q49(docs):
     return ["is_variant", "n", "sum_id"], rows
 
 
+def q53(docs):
+    """Mirror of SparkEntry q53: the CurationStore two-batch lifecycle —
+    exact dedup -> near-dup vs the store's SURVIVOR signatures (combined
+    bucket-width cap, same as Dedup.incrementalNearDupPairs) -> intra-batch
+    greedy near-dup -> quality gate -> survivors' sigs appended to the
+    store. Recomputed here with plain dict/loop code over the ported
+    minhash/band primitives."""
+    import re
+    th = 0.85
+    ws = re.compile(r"\s+", re.ASCII)
+    nonalnum = re.compile(r"[^A-Za-z0-9]")
+
+    def alnum_ratio(t):
+        return 0.0 if len(t) == 0 else len(nonalnum.sub("", t)) / len(t)
+
+    def tok_count(t):
+        s = t.strip("".join(chr(c) for c in range(0x21)))
+        return 0 if not s else len(ws.split(s))
+
+    def est(a, b):
+        return sum(1 for x, y in zip(a, b) if x == y) / dedup.NUM_HASHES
+
+    def ingest(batch, store_sigs):
+        texts = dict(batch)
+        by_text = {}
+        for i, t in batch:
+            if t not in by_text or i < by_text[t]:
+                by_text[t] = i
+        keep_exact = sorted(by_text.values())
+        sigs = {i: dedup.minhash_signature(texts[i]) for i in keep_exact}
+        # vs store: combined-width-capped band collisions against survivor sigs
+        sbuck = {}
+        for i, s in store_sigs.items():
+            for k in dedup.band_buckets(s):
+                sbuck.setdefault(k, []).append(i)
+        bbuck = {}
+        for i in keep_exact:
+            for k in dedup.band_buckets(sigs[i]):
+                bbuck.setdefault(k, []).append(i)
+        dropped = set()
+        for k, bids in bbuck.items():
+            cids = sbuck.get(k)
+            if not cids or len(cids) + len(bids) > dedup.DEFAULT_MAX_BUCKET_WIDTH:
+                continue
+            for b in bids:
+                if b in dropped:
+                    continue
+                if any(est(sigs[b], store_sigs[a]) >= th for a in cids):
+                    dropped.add(b)
+        after_corpus = [i for i in keep_exact if i not in dropped]
+        pairs = dedup.near_dup_pairs([(i, texts[i]) for i in after_corpus],
+                                     min_jaccard=th)
+        d2 = {b for _a, b, _e in pairs}
+        after_intra = [i for i in after_corpus if i not in d2]
+        curated = [i for i in after_intra
+                   if alnum_ratio(texts[i]) >= 0.40
+                   and 5 <= tok_count(texts[i]) <= 100000]
+        new_store = dict(store_sigs)
+        new_store.update({i: sigs[i] for i in curated})
+        return (len(batch), len(keep_exact), len(after_corpus),
+                len(after_intra), curated, new_store)
+
+    b1 = [(d[0], d[1]) for d in docs if d[0] % 2 == 0]
+    b2 = [(d[0], d[1]) for d in docs if d[0] % 2 == 1] + \
+         [(i + 1000000, t + " zz9marker") for i, t in b1]
+    a1, e1, c1, i1, k1, store = ingest(b1, {})
+    a2, e2, c2, i2, k2, _ = ingest(b2, store)
+    cols = ["batch", "n_arrived", "n_after_exact", "n_after_corpus",
+            "n_after_intra", "n_curated", "sum_kept_ids"]
+    return cols, [(1, a1, e1, c1, i1, len(k1), sum(k1)),
+                  (2, a2, e2, c2, i2, len(k2), sum(k2))]
+
+
 def q19c(docs):
     base = [(d[0], d[1]) for d in docs]
     corpus = (base
@@ -484,6 +557,7 @@ def main():
         "q19b_neardup_dedup": lambda: q19b(docs),
         "q19c_neardup_clusters": lambda: q19c(docs),
         "q49_incremental_dedup": lambda: q49(docs),
+        "q53_store_lifecycle": lambda: q53(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),
         "q22_ann_lsh": lambda: q22(emb),
