@@ -357,12 +357,17 @@ object SparkEntry {
       val batch2 = docs.filter(col("doc_id") % 2 === 1)
         .unionByName(batch1.select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zz9marker")).as("text")))
-      val (c1, r1) = graft.ops.CurationStore.ingestBatch(batch1, root,
+      // the kept id set IS the committed batch partition's id set, so the
+      // pinning sums read the (tiny) store instead of re-running the
+      // curation plan without its released signature cache
+      def keptSum(version: Int): Long = s.read.parquet(s"$root/data/batch=$version")
+        .agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0)
+      val (_, r1) = graft.ops.CurationStore.ingestBatch(batch1, root,
         cfg = cfg, minJaccard = 0.85)
-      val s1 = c1.agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0)
-      val (c2, r2) = graft.ops.CurationStore.ingestBatch(batch2, root,
+      val s1 = keptSum(r1.version)
+      val (_, r2) = graft.ops.CurationStore.ingestBatch(batch2, root,
         cfg = cfg, minJaccard = 0.85)
-      val s2 = c2.agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0)
+      val s2 = keptSum(r2.version)
       Seq(
         (r1.batchId, r1.nArrived, r1.nAfterExact, r1.nAfterCorpusDedup,
           r1.nAfterIntraDedup, r1.nCurated, s1),

@@ -145,24 +145,32 @@ object CurationStore {
     val version = prev.map(_.version + 1).getOrElse(1)
 
     val nArrived = batch.count()
+    // every stage below is referenced at least twice (its own lineage
+    // count + the next stage's plan, and the LSH plans reference their
+    // inputs up to 4×), so each is persisted for the ingest's lifetime —
+    // state is batch-scale by contract, released before returning
     val exact = Dedup.dropExactDups(batch, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = Dedup.signatures(exact, textCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](exact, sigs)
     try {
       val nAfterExact = exact.count()
       // 3. against the committed corpus store (skip when store is empty)
-      val afterCorpus = prev match {
+      val afterCorpus = (prev match {
         case Some(s) if s.committedBatches.nonEmpty =>
           Dedup.dropNearDupsAgainstFromSigs(exact, sigs,
             committedSigs(spark, root, idCol).select(col(idCol), col("sig")),
             idCol, minJaccard, maxBucketWidth)
         case _ => exact
-      }
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+      cached += afterCorpus
       val nAfterCorpus = afterCorpus.count()
       // 4. intra-batch, among the docs that survived the store check
       val sigsAC = sigs.join(afterCorpus.select(col(idCol)), Seq(idCol), "left_semi")
       val afterIntra = Dedup.dropNearDupsFromSigs(afterCorpus, sigsAC, idCol,
-        minJaccard, maxBucketWidth)
+        minJaccard, maxBucketWidth).persist(StorageLevel.MEMORY_AND_DISK)
+      cached += afterIntra
       val nAfterIntra = afterIntra.count()
       // 5. quality gate
       val curated = afterIntra.filter(
@@ -184,6 +192,6 @@ object CurationStore {
       commit(spark, root, snap)
       (curated, IngestReport(version, version, nArrived, nAfterExact,
         nAfterCorpus, nAfterIntra, nCurated))
-    } finally sigs.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 }

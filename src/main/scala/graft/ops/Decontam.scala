@@ -87,14 +87,15 @@ object Decontam {
     * purpose; persist the benchmark grams at the call site if that side
     * is expensive.
     *
-    * This function is EAGER through the prefilter phase: the surviving
-    * sliver is materialised (`localCheckpoint`) and the multi-MB Bloom
-    * broadcast is then unpersisted, so a long-lived session issuing many
-    * reports no longer accumulates broadcast blocks on EXECUTORS until GC
-    * (`unpersist`, not `destroy`: the checkpointed plan's task closure
-    * still serialises the broadcast handle, and a destroyed broadcast
-    * fails that serialisation — unpersist keeps the driver-side copy for
-    * re-fetch while freeing the executor memory the leak was about).
+    * Broadcast lifetime: the Bloom sketch broadcast lives as long as the
+    * returned plan holds it — once the caller actions the report and drops
+    * the DataFrame reference, Spark's ContextCleaner reclaims the
+    * executor-side blocks on the next driver GC (standard broadcast
+    * lifecycle; nothing pins it for the session). An eager
+    * materialise-then-unpersist variant was measured 1.9× SLOWER at
+    * 1M docs × 200k-doc benchmark (74 s vs 39 s: the localCheckpoint
+    * barrier serialises the sliver and blocks pipelining into the verify
+    * join — BENCH.md round 4), so the plan is deliberately kept lazy.
     */
   def contaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 8, minOverlap: Int = 1,
@@ -106,16 +107,12 @@ object Decontam {
     val nBench = math.max(1L, benchGrams.count())
     val bf = benchGrams.stat.bloomFilter("ngram_hash", nBench, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-    try {
-      val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
-      // eager: the sliver is |overlaps| + fpp·|corpus grams| rows — the
-      // whole point of the prefilter is that this is small enough to hold
-      corpusGrams.filter(mightContain(col("ngram_hash"))).localCheckpoint()
-        .join(benchGrams, Seq("ngram_hash"), "left_semi")
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_overlapping_ngrams"))
-        .filter(col("n_overlapping_ngrams") >= minOverlap)
-    } finally bc.unpersist(blocking = false)
+    val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
+    corpusGrams.filter(mightContain(col("ngram_hash")))
+      .join(benchGrams, Seq("ngram_hash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlapping_ngrams"))
+      .filter(col("n_overlapping_ngrams") >= minOverlap)
   }
 
   /** The filtering form: corpus minus contaminated documents (anti join on

@@ -234,6 +234,79 @@ object NewOpsScaleBench {
       s""""sessions":$n"""
     }
 
+    // ------------------------------------------------------------------
+    // Sequence packing: nEvents-row table, FOUR sources — the round-3
+    // single-window form caps parallelism at 4 tasks regardless of
+    // cluster size; the round-4 two-phase prefix sum must beat it while
+    // producing bitwise-identical bins (verified at size via aggregate
+    // equality: same per-source bin count / max offset / token total).
+    // ------------------------------------------------------------------
+    val packPath = s"/tmp/graft-newops-pack-$nEvents"
+    if (!new java.io.File(packPath).exists()) {
+      spark.range(0, nEvents, 1, 64)
+        .select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(4))).as("source"),
+          // 1..20 whitespace tokens, pure function of id — tiny text, so
+          // the measurement is the prefix-sum machinery, not tokenization
+          concat_ws(" ", array_repeat(lit("w"),
+            (pmod(xxhash64(col("id")), lit(20)) + 1).cast("int"))).as("text"))
+        .repartition(64).write.mode("overwrite").parquet(packPath)
+    }
+    val packDocs = spark.read.parquet(packPath)
+    packDocs.count()
+    def packDigest(nShards: Int): String = {
+      graft.ops.Packing
+        .assignBins(packDocs, "doc_id", "source", "text", capacity = 2048, nShards)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("bin")).as("bins"), max(col("start_offset")).as("maxOff"),
+          sum(col("n_tokens")).as("toks"))
+        .orderBy(col("source"))
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}:${r.getLong(2)}:${r.getLong(3)}")
+        .mkString("|")
+    }
+    var digest1 = ""
+    measure("packing_single_window", nEvents) {
+      digest1 = packDigest(1)
+      s""""shape":"one reducer per source (4 tasks)""""
+    }
+    measure("packing_two_phase", nEvents) {
+      val digest64 = packDigest(64)
+      s""""shards":64,"identicalToSingleWindow":${digest64 == digest1}"""
+    }
+
+    // ------------------------------------------------------------------
+    // Unaligned window dedup (rolling fingerprints): 1M docs where every
+    // 251st doc carries ONE fixed ~300-char passage spliced at an
+    // id-dependent offset (id % 97 — never a multiple of the 80-char
+    // chunk grid), so ~4k docs share the passage at mutually UNALIGNED
+    // positions. The passage's selected windows are content-fixed, so
+    // every sharing doc must land in the same fingerprint groups;
+    // crossDocGroups is the planted positive (fixed-offset chunking finds
+    // none of these by construction).
+    // ------------------------------------------------------------------
+    val winPath = s"/tmp/graft-newops-windocs-$nDocs"
+    if (!new java.io.File(winPath).exists()) {
+      val passage = (0 until 50).map(i => s"pp${i}qx").mkString(" ")
+      spark.range(0, nDocs, 1, 64)
+        .select(col("id").as("doc_id"), corpusTextUdf(col("id")).as("base"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 251 === 0,
+            concat(col("base").substr(lit(1), (col("doc_id") % 97).cast("int")),
+              lit(" " + passage + " "), col("base")))
+            .otherwise(col("base")).as("text"))
+        .repartition(64).write.mode("overwrite").parquet(winPath)
+    }
+    val winDocs = spark.read.parquet(winPath)
+    val nPlantedPassages = winDocs.filter(col("doc_id") % 251 === 0).count()
+    measure("window_dedup_rolling", nDocs) {
+      val groups = graft.ops.Dedup.windowDupGroupsRolling(winDocs, "text", "doc_id",
+        windowLen = 40, selectBits = 4)
+      val r = groups.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("n_docs") > 1, 1L).otherwise(0L)), lit(0L)).as("crossDoc"),
+        coalesce(max(col("n_docs")), lit(0L)).as("widest")).head()
+      s""""plantedCarriers":$nPlantedPassages,"dupFingerprints":${r.getLong(0)},"crossDocGroups":${r.getLong(1)},"widestGroupDocs":${r.getLong(2)}"""
+    }
+
     spark.stop()
   }
 }

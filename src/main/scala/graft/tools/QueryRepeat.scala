@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** In-session variance control: run named SparkEntry queries N times in ONE
+  * JVM and print per-iteration seconds — the instrument for attributing a
+  * cross-round bench delta to session clock variance vs a real plan change
+  * (CLAUDE.md bench discipline; round-3 VERDICT follow-up on q33/q32).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt -batch "runMain graft.tools.QueryRepeat q33_harness_report q32_prepare_splits 5"
+  */
+object QueryRepeat {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val iters = args.lastOption.flatMap(_.toIntOption).getOrElse(5)
+    val names = args.filterNot(_.forall(_.isDigit)).toSeq
+    require(names.nonEmpty, "usage: QueryRepeat <queryName>... [iters]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    force(spark.read.parquet(s"$sfDir/lineitem.parquet")) // warm footers/JIT
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val secs = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        force(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sorted = secs.sorted
+      println(f"""{"query":"$name","iters":$iters,"secs":[${secs.map(s => f"$s%.3f").mkString(",")}],"median":${sorted(iters / 2)}%.3f,"min":${sorted.head}%.3f}""")
+    }
+    spark.stop()
+  }
+}
