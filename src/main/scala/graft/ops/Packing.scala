@@ -64,35 +64,47 @@ object Packing {
       // Spark — loses bits beyond 2^53, e.g. hash-derived ids)
       def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         call_function("div", a, b)
-      // phase 1: id bounds per source (tiny), broadcast back; contiguous
-      // id-range shards preserve the (source, id) order across shards
+      // The two tiny side tables (id bounds; shard base offsets) are
+      // materialised EAGERLY (localCheckpoint — they are nSources and
+      // nSources × nShards rows) instead of left as shared lazy branches:
+      // a shared branch is planned twice, and while the non-AQE planner
+      // dedupes the identical exchanges (ReuseExchange), AQE's stage
+      // cache measurably does NOT for this shape — leaving the corpus
+      // scanned 4× at runtime. With the checkpoints the input is read
+      // exactly twice (one narrow token-total aggregation + the windowed
+      // pass) plus one column-pruned id-bounds aggregation — deterministic
+      // under any planner. Two narrow scans beat one scan whose prefix
+      // sum is capped at #sources reducers, at any scale.
+      //
+      // phase 1: id bounds per source; contiguous id-range shards
+      // preserve the (source, id) order across shards
       val bounds = withTok.groupBy(col(sourceCol))
         .agg(min(col(idCol)).cast("long").as("__minId"),
           max(col(idCol)).cast("long").as("__maxId"))
         .withColumn("__span",
           idiv(col("__maxId") - col("__minId"), lit(nShards.toLong)) + 1) // ≥ 1
+        .select(col(sourceCol), col("__minId"), col("__span"))
+        .localCheckpoint()
       val sharded = withTok.join(broadcast(bounds), Seq(sourceCol))
         .withColumn("__shard", idiv(col(idCol).cast("long") - col("__minId"), col("__span")))
-        .drop("__minId", "__maxId", "__span")
-      // phase 2: intra-shard running sums — nSources × nShards parallel
-      // tasks; the shard-total branch below reads `local`, NOT `sharded`,
-      // so the (source, shard) exchange is built once and reused by both
-      // sides (ReusedExchange — the scan runs once)
-      val wLocal = Window.partitionBy(col(sourceCol), col("__shard")).orderBy(col(idCol))
-      val local = sharded.withColumn("__local_off",
-        sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
-      // phase 3: shard totals (tiny) → cumulative base per shard; the
-      // shard total is the shard's LAST running sum (max(local_off +
-      // n_tokens)), and the per-source window here runs over ≤ nShards
-      // rows, not the corpus
+        .drop("__minId", "__span")
+      // phase 2: per-(source, shard) token totals → cumulative base per
+      // shard; the per-source cumulative window runs over ≤ nShards rows,
+      // not the corpus
       val wShard = Window.partitionBy(col(sourceCol)).orderBy(col("__shard"))
-      val shardBases = local.groupBy(col(sourceCol), col("__shard"))
-        .agg(max(col("__local_off") + col("n_tokens")).as("__st"))
+      val shardBases = sharded.groupBy(col(sourceCol), col("__shard"))
+        .agg(sum(col("n_tokens")).as("__st"))
         .withColumn("__base",
           coalesce(sum(col("__st")).over(wShard) - col("__st"), lit(0L)))
         .select(col(sourceCol), col("__shard"), col("__base"))
-      // phase 4: global offset = shard base + intra-shard offset
-      local.join(broadcast(shardBases), Seq(sourceCol, "__shard"))
+        .localCheckpoint()
+      // phase 3: intra-shard running sums — nSources × nShards parallel
+      // tasks — plus the broadcast shard base
+      val wLocal = Window.partitionBy(col(sourceCol), col("__shard")).orderBy(col(idCol))
+      sharded
+        .join(broadcast(shardBases), Seq(sourceCol, "__shard"))
+        .withColumn("__local_off",
+          sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
         .withColumn("start_offset", col("__base") + col("__local_off"))
         .withColumn("bin", floor(col("start_offset") / capacity))
         .select(df.columns.map(col) ++
