@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
+
+/** All ordered pairs (i < j) of an array's elements, as
+  * `array<struct<a: elem, b: elem>>` — the row-local pair explosion of the
+  * bucket-grouped LSH candidate generation (graft.ops.Dedup /
+  * Similarity.embeddingNearDups).
+  *
+  * Why an expression: the higher-order-function formulation
+  * (`flatten(transform(sequence..., transform(slice...)))`) evaluates an
+  * interpreted lambda per emitted pair and rebuilds nested arrays per
+  * outer index — measured ~2× slower end-to-end on the embedding near-dup
+  * query, whose pairs carry two 256-byte vectors each. This builds the
+  * pair array in one compiled loop. `CodegenFallback` is fine here: the
+  * expression runs ONCE per bucket row (outputs are array-sized), not per
+  * element, so staying outside WholeStageCodegen costs one virtual call
+  * per bucket.
+  *
+  * Generic over the element type (primitive, struct, struct-with-arrays —
+  * whatever the member payload is). Elements are COPIED out of the input
+  * array: Unsafe-backed element views point into a buffer the downstream
+  * explode would otherwise share across all pairs.
+  */
+case class PairCombinationsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pair_combinations requires an array argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", elemType), StructField("b", elemType))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pair_combinations"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // copy elements once (not per pair): pairs share the copies
+    val elems = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      elems(i) = InternalRow.copyValue(arr.get(i, elemType))
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](elems(i), elems(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairCombinationsExpr {
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def pair_combinations(c: Column): Column =
+    ColumnBridge.column(PairCombinationsExpr(ColumnBridge.expression(c)))
+}

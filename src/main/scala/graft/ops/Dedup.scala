@@ -147,16 +147,46 @@ object Dedup {
     }
   }
 
+  /** All (a < b) pairs from a sorted member array — row-local pair
+    * explosion for the bucket-grouped candidate generation below, as the
+    * native `PairCombinationsExpr` (one compiled loop per bucket row; the
+    * higher-order-function formulation paid an interpreted lambda per
+    * emitted pair — kept in the spec as the parity reference).
+    */
+  private[graft] def pairCombinations(ids: Column): Column =
+    graft.functions.PairCombinationsExpr.pair_combinations(ids)
+
+  /** The higher-order-function formulation, kept as the parity reference
+    * for the spec pinning [[pairCombinations]] identical to it.
+    */
+  private[graft] def pairCombinationsReference(ids: Column): Column = {
+    val n = size(ids)
+    flatten(transform(sequence(lit(1), n - 1), i =>
+      transform(slice(ids, i + 1, n - i), b =>
+        struct(element_at(ids, i).as("a"), b.as("b")))))
+  }
+
   /** Near-duplicate candidate pairs (a < b) from LSH band collisions.
     *
-    * Scale guard + shape: bucket widths come from a window count over the
-    * SAME (band,bucket) shuffle the self-join needs — the expensive MinHash
-    * signatures are computed once and the exchange is reused by both join
-    * sides AND satisfies the join's partitioning (no further shuffle).
-    * Rows in buckets wider than `maxBucketWidth` are filtered before the
-    * self-join, so no bucket can contribute more than maxBucketWidth²
-    * pairs. Dropped-row/width stats ride the plan as an `observe()` metric
-    * (zero extra jobs) and are logged on action completion.
+    * Scale shape (round 4): bucket members are COLLECTED per (band,
+    * bucket) key and pairs explode row-locally — the bucket rows are
+    * shuffled exactly ONCE. The round-3 form (window width + bucket
+    * self-join) planned the bucket branch twice, and NEITHER planner
+    * deduplicated the twin subtrees at runtime (measured: 2× the MinHash
+    * pass on an unpersisted plan and 2× the bucket shuffle, AQE on or
+    * off — BENCH.md round 4). The width cap comes from a separate tiny
+    * aggregation (map-side partial combine: the shuffle moves one row
+    * per distinct (band,bucket) per partition, not per doc) whose
+    * over-cap keys broadcast-anti-join the bucket rows; per-bucket state
+    * in the collect is ≤ maxBucketWidth ids ≈ 2 KB. Dropped-row/width
+    * stats ride the width aggregation as an `observe()` metric (zero
+    * extra jobs) and are logged on action completion.
+    *
+    * NOTE the width branch and the main branch are separate plan
+    * references to `sigs` — with unpersisted signatures both recompute
+    * the signature pass (2×, same as the round-3 shape); the documented
+    * scale discipline stands: persist the signature table (FromSigs
+    * callers) so both branches read the cache.
     */
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame =
@@ -167,19 +197,25 @@ object Dedup {
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
     installDropLogger(sigs.sparkSession)
     val buckets = lshBucketsFromSigs(sigs, idCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val withW = buckets.withColumn("__w", count(lit(1)).over(w))
-    val observed = withW.observe(
+    val widths = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__w"))
+    val observed = widths.observe(
       s"graft.lsh.buckets.${observeCounter.incrementAndGet()}",
-      sum(when(col("__w") > maxBucketWidth, 1L).otherwise(0L)).as("droppedRows"),
+      sum(when(col("__w") > maxBucketWidth, col("__w")).otherwise(0L)).as("droppedRows"),
       max(col("__w")).as("maxWidth"))
-    val pruned = observed.filter(col("__w") <= maxBucketWidth)
-    val l = pruned.select(col("band"), col("bucket"), col(idCol).as("a"))
-    val r = pruned.select(col("band"), col("bucket"), col(idCol).as("b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val oversized = observed.filter(col("__w") > maxBucketWidth)
+      .select(col("band"), col("bucket"))
+    // no broadcast hint: the over-cap key set is empty-to-tiny on real
+    // corpora and AQE's runtime stats pick the broadcast side; a forced
+    // hint would gamble on the pathological all-dup corpus where the set
+    // is large (measured elsewhere that AQE beats manual hints here)
+    buckets.join(oversized, Seq("band", "bucket"), "left_anti")
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(pairCombinations(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .distinct()
   }
 
   /** Signature-estimated Jaccard for candidate pairs: fraction of equal
@@ -584,17 +620,24 @@ object Dedup {
     val buckets = withSim
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
-    // width via window count over the same (band,key) shuffle the join
-    // reuses — simhash computed once, no extra aggregation branch
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))
-    val pruned = buckets.withColumn("__w", count(lit(1)).over(w))
-      .filter(col("__w") <= maxBucketWidth)
-    val l = pruned.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("simA"))
-    val r = pruned.select(col("band"), col("key"), col(idCol).as("b"), col("simhash").as("simB"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .withColumn("hamming", hamming(col("simA"), col("simB")))
+    // same one-shuffle shape as candidatePairsFromSigs (round 4): tiny
+    // width aggregation → over-cap keys anti-join → per-bucket member
+    // collect (≤ cap × 16 B) → row-local pair explosion. The simhash
+    // rides in the member struct, so the hamming check needs no join
+    // back; members sort by (id, simhash) = by id (ids unique), giving
+    // the same a < b pair orientation as the old self-join.
+    val widths = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__w"))
+    val oversized = widths.filter(col("__w") > maxBucketWidth)
+      .select(col("band"), col("key"))
+    buckets.join(oversized, Seq("band", "key"), "left_anti")
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash")))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(explode(pairCombinations(col("__m"))).as("__p"))
+      .select(col("__p.a.id").as("a"), col("__p.b.id").as("b"),
+        hamming(col("__p.a.simhash"), col("__p.b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming")).distinct()
+      .distinct()
   }
 }

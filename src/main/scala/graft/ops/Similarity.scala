@@ -252,6 +252,15 @@ object Similarity {
     * table (never a cross join), exact cosine verifies. Same oversized-
     * bucket guard as the text dedup ops (identical/constant embeddings are
     * the degenerate class).
+    *
+    * SIZE THE BUCKET SPACE to the corpus: expected bucket width is
+    * N / 2^planesPerTable, so planesPerTable must grow with N (aim for
+    * width ≲ 10²; at the 8-plane default a 10⁶-vector corpus puts every
+    * bucket over the width cap — nothing pairs, and nothing useful runs).
+    * Candidates stay id-only through the cross-table dedupe; vectors join
+    * back only for the exact verify (measured: the vector-carrying pair
+    * shuffle spilled >90 GB at 1M vectors where this shape moves 17.5 GB —
+    * BENCH.md round 4).
     */
   def embeddingNearDups(
       emb: DataFrame, minCosine: Double,
@@ -260,16 +269,28 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
     val bUdf = lshBucketsUdf(nTables, planesPerTable)
-    val buckets = emb.select(col(idCol), col(vecCol),
-      explode(bUdf(col(vecCol))).as("bucket"))
-    val w = Window.partitionBy(col("bucket"))
-    val pruned = buckets.withColumn("__w", count(lit(1)).over(w))
-      .filter(col("__w") <= maxBucketWidth)
-    val l = pruned.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
-    val r = pruned.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
+    val buckets = emb.select(col(idCol), explode(bUdf(col(vecCol))).as("bucket"))
+    // one-shuffle ID-ONLY candidate generation (round 4, same shape as
+    // the text LSH): tiny width aggregation → over-cap keys anti-join →
+    // per-bucket member collect (≤ cap × 8 B) → row-local pair explosion.
+    // Candidates stay 16-byte (a, b) rows through the cross-table
+    // dedupe — an earlier variant carried both vectors through it and a
+    // measured worst case (1.1M random vectors, 13 planes: ~10² members
+    // per bucket, OR-amplified over 8 tables) spilled 67 GB on the pair
+    // shuffle; with id-only pairs the same regime shuffles GB-order.
+    // The exact-cosine verify joins the two vectors back afterwards
+    // (AQE broadcasts the pair table when small — the common case).
+    val widths = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("__w"))
+    val oversized = widths.filter(col("__w") > maxBucketWidth).select(col("bucket"))
+    buckets.join(oversized, Seq("bucket"), "left_anti")
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(graft.ops.Dedup.pairCombinations(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
       .dropDuplicates("a", "b")
+      .join(emb.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(emb.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))

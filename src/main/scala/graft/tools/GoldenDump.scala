@@ -150,7 +150,19 @@ object GoldenDump {
     // --- minhash / simhash ------------------------------------------------
     val mh = graft.ops.Dedup.minhashSignature("the quick brown fox jumps over the lazy dog")
     sb.append(s""""minhash_fox": [${mh.mkString(",")}],\n""")
-    sb.append(s""""simhash_fox": ${graft.ops.Dedup.simhash64("the quick brown fox jumps over the lazy dog")}\n""")
+    sb.append(s""""simhash_fox": ${graft.ops.Dedup.simhash64("the quick brown fox jumps over the lazy dog")},\n""")
+
+    // --- rolling window fingerprints (WindowFingerprintsExpr) ------------
+    // selectBits=0 keeps EVERY window → pins the Karp–Rabin recurrence
+    // itself; selectBits=3 pins the splitmix64 low-bits selection.
+    val wfText = "The quick brown fox jumps over the lazy dog 0123456789 éü中文 end."
+    def wfDump(bits: Int): String = {
+      val a = graft.functions.WindowFingerprintsExpr
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(wfText), 7, bits)
+      (0 until a.numElements()).map(a.getLong).mkString("[", ",", "]")
+    }
+    sb.append(s""""window_fps_all": ${wfDump(0)},\n""")
+    sb.append(s""""window_fps_sel3": ${wfDump(3)}\n""")
 
     sb.append("}\n")
     Files.writeString(Paths.get(out), sb.result())

@@ -131,6 +131,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("simhash64") && plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
 
+  test("native pair_combinations equals the higher-order formulation (longs and structs)") {
+    import graft.ops.Dedup
+    val ids = spark.range(20)
+      .select(pmod(col("id"), lit(4)).as("g"), col("id"))
+      .groupBy("g").agg(sort_array(collect_list(col("id"))).as("ids"))
+    val flat = ids.select(col("g"),
+        explode(Dedup.pairCombinations(col("ids"))).as("p"))
+      .select(col("g"), col("p.a"), col("p.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = ids.select(col("g"),
+        explode(Dedup.pairCombinationsReference(col("ids"))).as("p"))
+      .select(col("g"), col("p.a"), col("p.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flat == ref && flat.size == 4 * 10, s"native=$flat ref=$ref")
+    // struct members with an array payload (the embedding near-dup shape)
+    val m = spark.range(6)
+      .select(lit(1).as("g"), struct(col("id"),
+        array(col("id") * 10, col("id") * 10 + 1).as("v")).as("s"))
+      .groupBy("g").agg(sort_array(collect_list(col("s"))).as("ms"))
+    val pairs = m.select(explode(Dedup.pairCombinations(col("ms"))).as("p"))
+      .select(col("p.a.id").as("a"), col("p.b.id").as("b"),
+        element_at(col("p.b.v"), 1).as("bv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.size == 15 && pairs.contains((0L, 5L, 50L)), pairs.toString)
+  }
+
   test("SQL registration: simhash64 and window_fingerprints callable from SQL") {
     GraftExtensions.install(spark)
     spark.createDataset(Seq("the quick brown fox jumps over the lazy dog"))

@@ -54,6 +54,33 @@ def minhash_signature(text, shingle_len=7):
     return [int(v) for v in sig]
 
 
+def window_fingerprints(text, window_len, select_bits):
+    """Mirrors graft.functions.WindowFingerprintsExpr.compute: Karp-Rabin
+    base-1000003 rolling hash mod 2^64 over UTF-16 code units (BMP-only
+    golden inputs, where Python code points == Java chars), finalised
+    through splitmix64; a window is kept when the mixed hash's low
+    select_bits bits are zero. Signed-long output to match the JVM."""
+    n = len(text)
+    if n < window_len:
+        return []
+    base = 1000003
+    mask = (1 << select_bits) - 1
+    pw = pow(base, window_len - 1, 1 << 64)
+    h = 0
+    for i in range(window_len):
+        h = (h * base + ord(text[i])) & M64
+    out = []
+    fp = splitmix64(h)
+    if fp & mask == 0:
+        out.append(fp)
+    for i in range(window_len, n):
+        h = ((h - ord(text[i - window_len]) * pw) * base + ord(text[i])) & M64
+        fp = splitmix64(h)
+        if fp & mask == 0:
+            out.append(fp)
+    return out
+
+
 def band_buckets(sig):
     """[(band, bucketKey)] — key is Spark hash() of the 4-long slice."""
     return [(b, spark_hash_longs(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]))

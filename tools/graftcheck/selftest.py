@@ -103,6 +103,12 @@ def main():
     assert H.i64(dedup.simhash64(fox)) == g["simhash_fox"]
     checks += 2
 
+    if "window_fps_all" in g:  # native WindowFingerprintsExpr vs the port
+        wf_text = "The quick brown fox jumps over the lazy dog 0123456789 éü中文 end."
+        assert dedup.window_fingerprints(wf_text, 7, 0) == g["window_fps_all"]
+        assert dedup.window_fingerprints(wf_text, 7, 3) == g["window_fps_sel3"]
+        checks += 2
+
     if "cosine_pairs" in g:  # native CosineSimExpr vs the python fold
         import struct
         from graftcheck import similarity
