@@ -377,6 +377,23 @@ object SparkEntry {
           "n_after_intra", "n_curated", "sum_kept_ids")
     }),
 
+    // the candidate→VERIFY dedup tier: LSH proposes, EXACT char-shingle
+    // Jaccard disposes (native ExactJaccardExpr per candidate pair) — the
+    // tier for decisions where a false drop is expensive. Planted zz9
+    // variants guarantee recoverable pairs at every sf; sums pin the pair
+    // set; rows-only → recomputed by the Python crosscheck.
+    "q54_verified_neardups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz9marker")).as("text"))
+      Dedup.verifiedNearDupPairs(docs.unionByName(variants), "text", "doc_id",
+          minJaccard = 0.8)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a")).as("sum_a"), sum(col("b")).as("sum_b"),
+          round(avg(col("jaccard")), 4).as("avg_jaccard"),
+          round(min(col("jaccard")), 4).as("min_jaccard"))
+    }),
+
     "q20_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("simhash", graft.functions.SimHash64Expr.simhash64(col("text")))

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for EXACT character-shingle Jaccard between
+  * two texts — the verification kernel of the candidate→verify dedup tier
+  * (graft.ops.Dedup.verifiedNearDupPairs): MinHash/LSH proposes, this
+  * disposes. Delegates to the same `Dedup.exactJaccard` the driver-side
+  * spec math uses, so values are identical by construction.
+  *
+  * Cost note: builds both shingle sets per pair — O(|a| + |b|) with a set
+  * intersection; run it on the CANDIDATE pairs (bounded by the LSH width
+  * cap), never as a cross-join predicate.
+  */
+case class ExactJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"exact_jaccard requires two string arguments, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "exact_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExactJaccardExpr.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExactJaccardExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ExactJaccardExpr {
+
+  /** Static so generated code calls it directly. */
+  def compute(a: UTF8String, b: UTF8String): Double =
+    graft.ops.Dedup.exactJaccard(
+      if (a == null) "" else a.toString,
+      if (b == null) "" else b.toString)
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def exact_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(ExactJaccardExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

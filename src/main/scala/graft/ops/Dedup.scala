@@ -551,6 +551,35 @@ object Dedup {
         min(col(idCol)).as("keeper_id"))
       .filter(col("n_occurrences") > 1)
 
+  /** The candidate→VERIFY dedup tier (Lee et al.: approximate proposal,
+    * exact disposition): LSH candidate pairs re-scored with the EXACT
+    * character-shingle Jaccard (native `ExactJaccardExpr`), keeping pairs
+    * at `minJaccard` or above. Where [[nearDupPairsFromSigs]] keeps pairs
+    * by the signature ESTIMATE (±1/√64 ≈ 0.125 per-pair error — fine for
+    * aggressive corpus thinning), this spends O(|a|+|b|) per candidate to
+    * make each decision exact — the tier to use when a false drop is
+    * expensive (eval sets, licensed subsets).
+    *
+    * Scale shape: candidates come width-capped from the one-shuffle LSH
+    * path; the two text joins are candidate-bounded (AQE broadcasts the
+    * pair table when small), so the exact kernel runs once per candidate
+    * pair, never per row pair. `df` is referenced three times (signature
+    * pass + two text joins) — persist it at scale, same discipline as the
+    * FromSigs family.
+    */
+  def verifiedNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8,
+      maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
+    val cands = candidatePairs(df, textCol, idCol, maxBucketWidth)
+    cands
+      .join(df.select(col(idCol).as("a"), col(textCol).as("__ta")), Seq("a"))
+      .join(df.select(col(idCol).as("b"), col(textCol).as("__tb")), Seq("b"))
+      .withColumn("jaccard",
+        graft.functions.ExactJaccardExpr.exact_jaccard(col("__ta"), col("__tb")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact character-shingle Jaccard between two texts (verification). */
   def exactJaccard(a: String, b: String, shingleLen: Int = 7): Double = {
     val sa = shingleHashes(a, shingleLen).toSet

@@ -76,6 +76,33 @@ class OpsSpec extends AnyFunSuite {
     assert(rollCross > 0L, "rolling window sampling must flag the shared passage")
   }
 
+  test("verified near-dup pairs: native exact_jaccard == driver math; pairs == brute force") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight again",
+      "an entirely different document about query optimizers and joins",
+      "")
+    texts.combinations(2).foreach { case Seq(x, y) =>
+      val viaExpr = Seq((x, y)).toDF("a", "b")
+        .select(graft.functions.ExactJaccardExpr.exact_jaccard($"a", $"b"))
+        .as[Double].head()
+      assert(viaExpr == Dedup.exactJaccard(x, y), s"($x, $y)")
+    }
+    // brute-force reference: LSH candidates ∩ exact jaccard ≥ threshold
+    val docs = (1L to 60L).map { i =>
+      val base = Seq.tabulate(30)(j => s"w${i % 9}x$j common$j").mkString(" ")
+      (i, if (i % 4 == 0) base else base + s" unique$i " * 5)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.verifiedNearDupPairs(df, "text", "doc_id", minJaccard = 0.8)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.candidatePairs(df, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val byId = docs.toMap
+    val want = cands.filter { case (a, b) => Dedup.exactJaccard(byId(a), byId(b)) >= 0.8 }
+    assert(got == want && got.nonEmpty, s"got=$got want=$want")
+  }
+
   test("rolling window fingerprints equal a from-scratch per-window recomputation") {
     // the O(len) Karp–Rabin recurrence must produce exactly the hash a
     // direct O(windowLen) scan of each window produces (then the same

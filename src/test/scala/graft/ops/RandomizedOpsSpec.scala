@@ -39,6 +39,30 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join with RANDOM NULL right payloads returns the matched row's own nulls") {
+    // pins the round-4 struct-carry fix under randomization: a null field
+    // of the matched right row must come through as null, never back-filled
+    // from an older right row (the per-column last(ignoreNulls) bug)
+    val rng = new scala.util.Random(777)
+    val left = (1 to 150).map(i => (s"u${rng.nextInt(5)}", rng.nextInt(500).toLong, i.toLong))
+    val right = (1 to 200).map { i =>
+      (s"u${rng.nextInt(5)}", rng.nextInt(500).toLong,
+        if (rng.nextInt(3) == 0) None else Some(i * 2.0), s"tag$i")
+    }.groupBy(t => (t._1, t._2)).map { case (_, vs) => vs.maxBy(_._4) }.toSeq
+    val got = AsOf.joinAsOf(left.toDF("k", "ts", "lid"),
+        right.toDF("k", "rts", "rv", "rtag"), Seq("k"), "ts", "rts")
+      .select("lid", "rts", "rv", "rtag").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getString(3))))).toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (k, ts, lid) =>
+      val want = byKey.getOrElse(k, Seq.empty).filter(_._2 <= ts)
+        .sortBy(_._2).lastOption.map(t => (t._2, t._3, t._4))
+      assert(got(lid) == want, s"lid=$lid k=$k ts=$ts: got ${got(lid)} want $want")
+    }
+  }
+
   test("sessionize matches a brute-force per-key scan on 400 random events") {
     val rng = new scala.util.Random(99)
     val gapMs = 10000L

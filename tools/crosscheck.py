@@ -197,6 +197,25 @@ def q53(docs):
                   (2, a2, e2, c2, i2, len(k2), sum(k2))]
 
 
+def q54(docs):
+    """Mirror of SparkEntry q54: LSH candidates -> exact char-shingle
+    Jaccard verify at >= 0.8 over docs + planted zz9 variants."""
+    corpus = [(d[0], d[1]) for d in docs] + \
+             [(d[0] + 1000000, d[1] + " zz9marker") for d in docs]
+    pairs, _sigs = dedup.candidate_pairs(corpus)
+    texts = dict(corpus)
+    out = []
+    for a, b in pairs:
+        j = dedup.exact_jaccard(texts[a], texts[b])
+        if j >= 0.8:
+            out.append((a, b, round_half_up(j, 4)))
+    n = len(out)
+    cols = ["n_pairs", "sum_a", "sum_b", "avg_jaccard", "min_jaccard"]
+    return cols, [(n, sum(a for a, _b, _j in out), sum(b for _a, b, _j in out),
+                   round_half_up(sum(j for _a, _b, j in out) / n, 4),
+                   round_half_up(min(j for _a, _b, j in out), 4))]
+
+
 def q19c(docs):
     base = [(d[0], d[1]) for d in docs]
     corpus = (base
@@ -558,6 +577,7 @@ def main():
         "q19c_neardup_clusters": lambda: q19c(docs),
         "q49_incremental_dedup": lambda: q49(docs),
         "q53_store_lifecycle": lambda: q53(docs),
+        "q54_verified_neardups": lambda: q54(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),
         "q22_ann_lsh": lambda: q22(emb),

@@ -154,6 +154,16 @@ def incremental_near_dup_pairs(corpus, batch, min_jaccard=0.7,
     return out
 
 
+def exact_jaccard(a, b, shingle_len=7):
+    """Mirror of Dedup.exactJaccard (exact char-shingle Jaccard)."""
+    sa = shingle_hashes(a, shingle_len)
+    sb = shingle_hashes(b, shingle_len)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
 def simhash64(text):
     if not text:
         return 0
