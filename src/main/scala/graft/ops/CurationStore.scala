@@ -45,9 +45,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object CurationStore {
 
+  /** `token` is an optional idempotency key (e.g. a Structured Streaming
+    * micro-batch id): a snapshot records the token whose ingest produced
+    * it, so a replayed batch can be recognised and skipped (-1 = none).
+    */
   final case class StoreSnapshot(
       version: Int, parent: Int, committedBatches: Set[Int],
-      counts: Seq[(Int, Long)]) // (batch, nSigs)
+      counts: Seq[(Int, Long)], token: Long = -1L)
 
   final case class IngestReport(
       version: Int, batchId: Int, nArrived: Long, nAfterExact: Long,
@@ -62,7 +66,7 @@ object CurationStore {
     val counts = s.counts.sortBy(_._1)
       .map { case (b, n) => s"""{"batch":$b,"nSigs":$n}""" }
       .mkString("[", ",", "]")
-    s"""{"version":${s.version},"parent":${s.parent},"committedBatches":${s.committedBatches.toSeq.sorted.mkString("[", ",", "]")},"counts":$counts}"""
+    s"""{"version":${s.version},"parent":${s.parent},"token":${s.token},"committedBatches":${s.committedBatches.toSeq.sorted.mkString("[", ",", "]")},"counts":$counts}"""
   }
 
   private def parse(json: String): StoreSnapshot = {
@@ -73,8 +77,10 @@ object CurationStore {
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     val counts = """\{"batch":(\d+),"nSigs":(\d+)\}""".r.findAllMatchIn(json)
       .map(m => (m.group(1).toInt, m.group(2).toLong)).toSeq
+    val token = """"token":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L) // pre-round-4 manifests
     StoreSnapshot(intField("version"), intField("parent"),
-      committed.split(",").filter(_.nonEmpty).map(_.toInt).toSet, counts)
+      committed.split(",").filter(_.nonEmpty).map(_.toInt).toSet, counts, token)
   }
 
   def snapshots(spark: SparkSession, root: String): Seq[StoreSnapshot] = {
@@ -139,8 +145,27 @@ object CurationStore {
       textCol: String = "text", idCol: String = "doc_id",
       cfg: Curation.Config = Curation.Default,
       minJaccard: Double = 0.9,
-      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth): (DataFrame, IngestReport) = {
+      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth): (DataFrame, IngestReport) =
+    ingestBatchIdempotent(batch, root, token = -1L, textCol, idCol, cfg,
+      minJaccard, maxBucketWidth)
+      .getOrElse(sys.error("unreachable: token -1 never deduplicates"))
+
+  /** [[ingestBatch]] with an idempotency token (a Structured Streaming
+    * micro-batch id, a shard date, …): if any committed snapshot already
+    * carries `token`, the batch is recognised as a REPLAY and skipped —
+    * returns None, the store untouched. This is what makes the streaming
+    * composition ([[graft.streaming.StreamingCuration]]) exactly-once:
+    * foreachBatch may re-deliver a micro-batch after a failure, and the
+    * store must not double-commit its signatures. Tokens of -1 are never
+    * deduplicated (the batch-mode default).
+    */
+  def ingestBatchIdempotent(batch: DataFrame, root: String, token: Long,
+      textCol: String = "text", idCol: String = "doc_id",
+      cfg: Curation.Config = Curation.Default,
+      minJaccard: Double = 0.9,
+      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth): Option[(DataFrame, IngestReport)] = {
     val spark = batch.sparkSession
+    if (token != -1L && snapshots(spark, root).exists(_.token == token)) return None
     val prev = lastSnapshot(spark, root)
     val version = prev.map(_.version + 1).getOrElse(1)
 
@@ -188,10 +213,11 @@ object CurationStore {
         version = version,
         parent = prev.map(_.version).getOrElse(-1),
         committedBatches = prev.map(_.committedBatches).getOrElse(Set.empty) + version,
-        counts = prev.map(_.counts).getOrElse(Seq.empty) :+ (version -> nCurated))
+        counts = prev.map(_.counts).getOrElse(Seq.empty) :+ (version -> nCurated),
+        token = token)
       commit(spark, root, snap)
-      (curated, IngestReport(version, version, nArrived, nAfterExact,
-        nAfterCorpus, nAfterIntra, nCurated))
+      Some((curated, IngestReport(version, version, nArrived, nAfterExact,
+        nAfterCorpus, nAfterIntra, nCurated)))
     } finally cached.foreach(_.unpersist())
   }
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{Curation, CurationStore, Dedup}
+
+/** Continuous curation: the streaming twin of the
+  * [[graft.ops.CurationStore]] daily-shard lifecycle. Every micro-batch
+  * runs the full ingest — exact dedup → near-dup vs everything PREVIOUSLY
+  * committed (via the store's persisted signatures) → intra-batch near-dup
+  * → quality gate — and the survivors land in `outPath/batch=<id>` while
+  * their signatures commit to the store, so later micro-batches dedup
+  * against them.
+  *
+  * Exactly-once, both sides:
+  *  - the STORE commit is idempotent via the micro-batch id as the
+  *    snapshot token ([[CurationStore.ingestBatchIdempotent]]): a replayed
+  *    micro-batch (foreachBatch redelivers after failures) is recognised
+  *    and skipped;
+  *  - the OUTPUT write targets a per-batch directory with overwrite, so a
+  *    replay rewrites the same files instead of appending duplicates.
+  *
+  * This deliberately composes the BATCH lifecycle per micro-batch instead
+  * of reimplementing dedup in flatMapGroupsWithState: the store (not the
+  * state store) is the corpus memory, so state survives stream restarts,
+  * is queryable/time-travelable like any table, and is shared with batch
+  * ingests — [[StreamingDedup.nearDupMatches]] remains the low-latency
+  * in-stream detector for match EVENTS; this is the curation SINK.
+  */
+object StreamingCuration {
+
+  /** Start the continuous-curation query. `stream` must carry
+    * (`idCol`, `textCol`); ids must be unique across the stream's lifetime
+    * (the store's id-space contract).
+    */
+  def start(stream: DataFrame, storeRoot: String, outPath: String,
+      checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      cfg: Curation.Config = Curation.Default,
+      minJaccard: Double = 0.9,
+      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          CurationStore.ingestBatchIdempotent(batch.toDF(), storeRoot,
+            token = batchId, textCol, idCol, cfg, minJaccard, maxBucketWidth)
+          match {
+            case Some((curated, report)) =>
+              curated.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingCuration")
+                .info(s"micro-batch $batchId curated: $report")
+            case None =>
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingCuration")
+                .warn(s"micro-batch $batchId is a REPLAY of a committed ingest — skipped")
+          }
+        }
+      }
+      .start()
+  }
+
+  /** All curated output across committed micro-batches. */
+  def curatedOutput(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+}

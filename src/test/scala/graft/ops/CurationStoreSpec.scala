@@ -118,6 +118,54 @@ class CurationStoreSpec extends AnyFunSuite {
     assert(store2.select("batch").distinct().as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("idempotency token: a replayed ingest is recognised and the store untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store3").toString
+    val b = Seq((1L, goodText(1)), (2L, goodText(2))).toDF("doc_id", "text")
+    val first = CurationStore.ingestBatchIdempotent(b, root, token = 42L)
+    assert(first.isDefined && first.get._2.nCurated == 2)
+    // replay with the same token → skipped, no new snapshot
+    assert(CurationStore.ingestBatchIdempotent(b, root, token = 42L).isEmpty)
+    assert(CurationStore.snapshots(spark, root).map(_.version) == Seq(1))
+    assert(CurationStore.committedSigs(spark, root).count() == 2L)
+    // a NEW token ingests normally (and still dedups against the store)
+    val b2 = Seq((3L, goodText(1))).toDF("doc_id", "text") // exact text of doc 1
+    val second = CurationStore.ingestBatchIdempotent(b2, root, token = 43L)
+    assert(second.isDefined && second.get._2.nCurated == 0,
+      "doc 3 near-dups committed doc 1 and must be dropped")
+    assert(CurationStore.snapshots(spark, root).map(_.token) == Seq(42L, 43L))
+  }
+
+  test("streaming curation: micro-batches dedup against earlier ones, exactly-once output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-scur-store").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-scur-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scur-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val cfg = Curation.Config(minJaccard = 0.85)
+
+    def runAvailable(): Unit = {
+      val q = graft.streaming.StreamingCuration.start(
+        in.toDF().toDF("doc_id", "text"), root, out, ckpt,
+        cfg = cfg, minJaccard = 0.85)
+      q.awaitTermination() // AvailableNow terminates when drained
+    }
+    in.addData(Seq((1L, goodText(1)), (2L, goodText(2)), (3L, goodText(1)))) // 3 = exact dup of 1
+    runAvailable()
+    in.addData(Seq(
+      (11L, goodText(2) + " zz9"), // near-dup of committed survivor 2 → dropped
+      (12L, goodText(12)))) // fresh → kept
+    runAvailable()
+
+    val curated = graft.streaming.StreamingCuration.curatedOutput(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated == Set(1L, 2L, 12L), s"curated=$curated")
+    val snaps = CurationStore.snapshots(spark, root)
+    assert(snaps.length == 2 && snaps.map(_.token).forall(_ >= 0),
+      s"each micro-batch commits one tokened snapshot: $snaps")
+    assert(CurationStore.committedSigs(spark, root).count() == 3L)
+  }
+
   test("uncommitted partial data is invisible; ingest overwrites it atomically") {
     val root = java.nio.file.Files.createTempDirectory("graft-store2").toString
     // simulate a crashed ingest: partition files exist, no snapshot
