@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document sorted distinct shingle-hash array — the precomputed half
+  * of the candidate→verify dedup tier. `exact_jaccard(textA, textB)`
+  * rebuilds BOTH shingle sets per candidate pair; since every document sits
+  * in ~2·pairs/N candidate pairs, that re-hashes each text many times over.
+  * Computing `shingle_hashes(text)` ONCE per document (one corpus pass,
+  * inside WholeStageCodegen, UnsafeArrayData out) and verifying pairs with
+  * [[SortedJaccardExpr]] (a linear merge over the two precomputed sorted
+  * arrays — no hashing, no set allocation) moves the per-pair cost from
+  * O(|a|+|b|) hash work to a branch-predictable merge. Values are identical
+  * to `exact_jaccard` by construction: same shingle hashes, same distinct
+  * set, and |A∩B| / (|A|+|B|−|A∩B|) is order-free (pinned by spec).
+  */
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashesExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+
+  /** Static so generated code calls it directly. */
+  def compute(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.Dedup.sortedShingleHashes(if (s == null) "" else s.toString))
+
+  def shingle_hashes(c: Column): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c)))
+}
+
+/** Exact Jaccard between two sorted distinct long arrays (see
+  * [[ShingleHashesExpr]]): single merge pass, no allocation.
+  */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = ArrayType(LongType, containsNull = false)
+    def fits(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (fits(left.dataType) && fits(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard requires two $ok arguments, got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccardExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedJaccardExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccardExpr {
+
+  /** Static so generated code calls it directly. Inputs must be sorted
+    * (signed long order) and distinct; both empty → 1.0, matching
+    * `Dedup.exactJaccard` on two empty texts.
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccardExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

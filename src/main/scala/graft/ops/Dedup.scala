@@ -53,6 +53,17 @@ object Dedup {
     }
   }
 
+  /** Sorted (signed long order) distinct shingle hashes — the precomputed
+    * per-document half of the verified near-dup tier (one pass per doc via
+    * `ShingleHashesExpr`; pairs then verify with a linear merge instead of
+    * re-hashing both texts per pair).
+    */
+  def sortedShingleHashes(text: String, shingleLen: Int = 7): Array[Long] = {
+    val out = shingleHashes(if (text == null) "" else text, shingleLen)
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** 64-component MinHash signature in one pass over the shingle set.
     * Component j uses the permutation h_j(x) = splitmix64(x + j·φ).
     */
@@ -571,11 +582,19 @@ object Dedup {
       minJaccard: Double = 0.8,
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
     val cands = candidatePairs(df, textCol, idCol, maxBucketWidth)
+    // Precompute each document's sorted distinct shingle-hash array ONCE
+    // (one corpus pass per join branch) and verify pairs with a linear
+    // merge — the exact_jaccard(textA, textB) form re-hashed both full
+    // texts per candidate pair, and every doc sits in many pairs (measured
+    // 15 s → 3 s on q54's 74k candidates at sf0.1; values identical by
+    // construction, pinned by FunctionsSpec).
+    val sh = df.select(col(idCol),
+      graft.functions.ShingleHashesExpr.shingle_hashes(col(textCol)).as("__sh"))
     cands
-      .join(df.select(col(idCol).as("a"), col(textCol).as("__ta")), Seq("a"))
-      .join(df.select(col(idCol).as("b"), col(textCol).as("__tb")), Seq("b"))
+      .join(sh.select(col(idCol).as("a"), col("__sh").as("__sa")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("__sh").as("__sb")), Seq("b"))
       .withColumn("jaccard",
-        graft.functions.ExactJaccardExpr.exact_jaccard(col("__ta"), col("__tb")))
+        graft.functions.SortedJaccardExpr.sorted_jaccard(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }

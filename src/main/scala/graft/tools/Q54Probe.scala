@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Throwaway decomposition probe for q54_verified_neardups cost. */
+object Q54Probe {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz9marker")).as("text"))
+    val df = docs.unionByName(variants)
+    println(s"docs=${docs.count()} union=${df.count()}")
+
+    def t(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    t("warm scan        ") { force(df) }
+    t("scan again       ") { force(df) }
+    t("signatures x1    ") { force(Dedup.signatures(df, "text", "doc_id")) }
+    t("candidatePairs   ") { println("  cands=" + Dedup.candidatePairs(df, "text", "doc_id").count()) }
+    val sigs = Dedup.signatures(df, "text", "doc_id").persist()
+    t("sig persist      ") { force(sigs) }
+    t("candsFromSigs    ") { println("  cands=" + Dedup.candidatePairsFromSigs(sigs, "doc_id").count()) }
+    t("full q54 current ") {
+      force(Dedup.verifiedNearDupPairs(df, "text", "doc_id", minJaccard = 0.8)
+        .agg(count(lit(1)).as("n_pairs")))
+    }
+    // old per-pair text form for comparison
+    t("verify via texts ") {
+      val cands = Dedup.candidatePairsFromSigs(sigs, "doc_id")
+      force(cands
+        .join(df.select(col("doc_id").as("a"), col("text").as("__ta")), Seq("a"))
+        .join(df.select(col("doc_id").as("b"), col("text").as("__tb")), Seq("b"))
+        .withColumn("jaccard",
+          graft.functions.ExactJaccardExpr.exact_jaccard(col("__ta"), col("__tb")))
+        .filter(col("jaccard") >= 0.8)
+        .agg(count(lit(1)).as("n_pairs")))
+    }
+    t("full q54 again   ") {
+      force(Dedup.verifiedNearDupPairs(df, "text", "doc_id", minJaccard = 0.8)
+        .agg(count(lit(1)).as("n_pairs")))
+    }
+    sigs.unpersist()
+    spark.stop()
+  }
+}

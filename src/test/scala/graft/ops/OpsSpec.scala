@@ -82,10 +82,17 @@ class OpsSpec extends AnyFunSuite {
       "an entirely different document about query optimizers and joins",
       "")
     texts.combinations(2).foreach { case Seq(x, y) =>
-      val viaExpr = Seq((x, y)).toDF("a", "b")
-        .select(graft.functions.ExactJaccardExpr.exact_jaccard($"a", $"b"))
-        .as[Double].head()
+      val (viaExpr, viaArrays) = Seq((x, y)).toDF("a", "b")
+        .select(
+          graft.functions.ExactJaccardExpr.exact_jaccard($"a", $"b"),
+          graft.functions.SortedJaccardExpr.sorted_jaccard(
+            graft.functions.ShingleHashesExpr.shingle_hashes($"a"),
+            graft.functions.ShingleHashesExpr.shingle_hashes($"b")))
+        .as[(Double, Double)].head()
       assert(viaExpr == Dedup.exactJaccard(x, y), s"($x, $y)")
+      // the precomputed-array verify path must be bit-identical to the
+      // per-pair text form (verifiedNearDupPairs relies on it)
+      assert(viaArrays == viaExpr, s"sorted_jaccard parity ($x, $y)")
     }
     // brute-force reference: LSH candidates ∩ exact jaccard ≥ threshold
     val docs = (1L to 60L).map { i =>
