@@ -692,6 +692,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(d)").as("digest"))
     }),
 
+    // Cross-file duplicated-line removal over the fixture code corpus
+    // (C4-style boilerplate dedup at line granularity): per-lang counts
+    // plus a bit_xor digest over every reconstructed document's
+    // (commit, sha256(cleaned)) — pins the rebuild bit-for-bit against
+    // the independent Python recomputation. Rows-only → crosschecked.
+    "q55_line_dedup" -> ((s, _) => {
+      val docs = Fixtures.generate(s, 4000).toDF()
+      Dedup.dedupLines(docs, "content", "commit")
+        .join(docs.select(col("commit"), col("lang")), Seq("commit"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_lines")).as("total_lines"),
+          sum(col("n_removed")).as("removed_lines"),
+          expr("bit_xor(xxhash64(commit, sha2(cleaned, 256)))").as("digest"))
+    }),
+
     // =================================================================
     // Corpus construction (reference consolidate/prepare lifecycle,
     // SURVEY.md §3.2) over synthesized raw sources — rows-only

@@ -502,6 +502,90 @@ object Dedup {
       .filter(col("n_occurrences") > 1)
   }
 
+  // ------------------------------------------------------------------
+  // Cross-file duplicated-line removal (boilerplate dedup)
+  // ------------------------------------------------------------------
+
+  /** One row per (file, line index, raw line) — shared explode for the
+    * line-dedup family. `split(_, "\n", -1)` keeps trailing empties so
+    * positions and reconstruction are exact.
+    */
+  private def lineRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+
+  /** Lines are compared EXACTLY (no trim — indentation is content in
+    * code); a line of ASCII spaces/tabs only is structure, not
+    * boilerplate: never counted, never removed.
+    */
+  private val blankLine = col("__line").rlike("^[ \t]*$")
+
+  /** Per-line duplication stats across files: one row per exact line
+    * occurring in at least `minFiles` distinct files —
+    * (line, n_files, n_occurrences, keeper = lexicographically smallest
+    * (file id, line index) occurrence). The diagnostic face of
+    * [[dedupLines]]: its head is the corpus's boilerplate (license
+    * headers, common imports).
+    */
+  def dupLineStats(df: DataFrame, textCol: String, idCol: String,
+      minFiles: Int = 2): DataFrame =
+    lineRows(df, textCol, idCol)
+      .filter(!blankLine)
+      .groupBy(col("__line"))
+      .agg(countDistinct(col("__id")).as("n_files"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("__id"), col("__pos"))).as("__keep"))
+      .filter(col("n_files") >= minFiles)
+      .select(col("__line").as("line"), col("n_files"), col("n_occurrences"),
+        col("__keep.__id").as("keeper_id"), col("__keep.__pos").as("keeper_pos"))
+
+  /** Cross-file duplicated-line removal with document reconstruction —
+    * the line-granularity boilerplate-dedup step of web/code corpus
+    * pipelines (C4 removed any three-sentence span occurring more than
+    * once; for source code the natural unit is the LINE: license headers,
+    * repeated imports, generated preambles). Every exact line occurring in
+    * ≥ `minFiles` distinct files is removed from every position except its
+    * single first occurrence (smallest (file id, line index));
+    * whitespace-only lines are never touched. Returns one row per input
+    * document: (idCol, n_lines, n_removed, cleaned) where `cleaned` is the
+    * surviving lines re-joined with "\n" in original order.
+    *
+    * Scale shape: the corpus is shuffled twice on the line key — once into
+    * the stats aggregation (countDistinct plans as a two-phase aggregate
+    * with map-side partial combine, so a boilerplate line occurring in
+    * 10^8 files does NOT concentrate 10^8 rows on one reducer) and once
+    * into the join back (only keys with n_files ≥ minFiles survive the
+    * stats side; hot boilerplate keys on the probe side are AQE
+    * skew-split). The window-function alternative (one shuffle) was
+    * rejected: partitionBy(line) has no partial aggregation, so the
+    * hottest boilerplate line becomes one giant sort partition. The final
+    * groupBy(id) rebuild is bounded by per-document line count.
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      minFiles: Int = 2): DataFrame = {
+    require(minFiles >= 2, s"minFiles must be at least 2: $minFiles")
+    val lines = lineRows(df, textCol, idCol)
+    val dupKeepers = lines.filter(!blankLine)
+      .groupBy(col("__line"))
+      .agg(countDistinct(col("__id")).as("__nf"),
+        min(struct(col("__id"), col("__pos"))).as("__keep"))
+      .filter(col("__nf") >= minFiles)
+      .select(col("__line"), col("__keep"))
+    lines.join(dupKeepers, Seq("__line"), "left")
+      .withColumn("__drop", col("__keep").isNotNull &&
+        !(col("__keep.__id") === col("__id") && col("__keep.__pos") === col("__pos")))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"),
+        // when() yields null for dropped lines and collect_list skips
+        // nulls, so a fully-boilerplate document still gets its row
+        // (cleaned = "")
+        array_join(transform(sort_array(collect_list(
+            when(!col("__drop"), struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("cleaned"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** UNALIGNED exact-substring duplication — the true Lee et al. 2022 tier
     * [[chunkDupGroups]] approximates: fixed-offset chunks provably miss a
     * duplicated passage whose offsets differ between documents by a

@@ -76,6 +76,28 @@ class OpsSpec extends AnyFunSuite {
     assert(rollCross > 0L, "rolling window sampling must flag the shared passage")
   }
 
+  test("line dedup: first occurrence kept, blanks untouched, within-file repeats need cross-file support") {
+    val a = Seq("// Copyright Acme", "import os", "unique a1", "import os", "", "   ").mkString("\n")
+    val b = Seq("// Copyright Acme", "import os", "unique b1").mkString("\n")
+    val c = Seq("unique c1", "solo repeated line", "solo repeated line").mkString("\n")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+
+    val got = Dedup.dedupLines(docs, "text", "doc_id")
+      .select("doc_id", "n_lines", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 6L, 1L,
+      Seq("// Copyright Acme", "import os", "unique a1", "", "   ").mkString("\n"))))
+    assert(got(1) == ((2L, 3L, 2L, "unique b1")))
+    // within-file repeat without cross-file support survives untouched
+    assert(got(2) == ((3L, 3L, 0L, c)))
+
+    val stats = Dedup.dupLineStats(docs, "text", "doc_id")
+      .as[(String, Long, Long, Long, Int)].collect().toSet
+    assert(stats == Set(
+      ("// Copyright Acme", 2L, 2L, 1L, 0),
+      ("import os", 2L, 3L, 1L, 1)))
+  }
+
   test("verified near-dup pairs: native exact_jaccard == driver math; pairs == brute force") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog tonight again",

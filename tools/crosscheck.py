@@ -397,6 +397,48 @@ def q36():
     return ["n_rows", "digest"], [(n, i64(x))]
 
 
+def q55():
+    """Cross-file duplicated-line removal + reconstruction, recomputed with
+    plain dicts: an exact line in >= 2 distinct files survives only at its
+    lexicographically smallest (commit, line index); ASCII-whitespace-only
+    lines are never counted or removed. Digest pins every rebuilt document
+    via xor of xxhash64(commit, sha256(cleaned))."""
+    import hashlib
+    from graftcheck.hashes import spark_xxhash64, i64, M64
+    files = []
+    for i in range(4000):
+        cf, _gold = fixtures.gen_row(i)
+        files.append((cf["commit"], cf["lang"], cf["content"].split("\n")))
+    occ = {}
+    for commit, _lang, lines in files:
+        for pos, line in enumerate(lines):
+            if line.strip(" \t") == "":
+                continue
+            e = occ.setdefault(line, [set(), None])
+            e[0].add(commit)
+            k = (commit, pos)
+            if e[1] is None or k < e[1]:
+                e[1] = k
+    keeper = {line: e[1] for line, e in occ.items() if len(e[0]) >= 2}
+    groups = {}
+    for commit, lang, lines in files:
+        kept, removed = [], 0
+        for pos, line in enumerate(lines):
+            k = keeper.get(line)
+            if k is not None and k != (commit, pos):
+                removed += 1
+            else:
+                kept.append(line)
+        sha = hashlib.sha256("\n".join(kept).encode()).hexdigest()
+        g = groups.setdefault(lang, [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += len(lines)
+        g[2] += removed
+        g[3] ^= spark_xxhash64([commit, sha]) & M64
+    cols = ["lang", "n_files", "total_lines", "removed_lines", "digest"]
+    return cols, [(l, g[0], g[1], g[2], i64(g[3])) for l, g in groups.items()]
+
+
 def q29():
     groups = {}
     for m in multimodal.decode_meta(multimodal.synthesize(3000)):
@@ -586,6 +628,7 @@ def main():
         "q43_semantic_dedup": lambda: q43(load_emb_labeled(con, sf_dir)),
         "q35_curation": lambda: q35(docs),
         "q36_pipeline_digest": q36,
+        "q55_line_dedup": q55,
         "q27_pipeline_decisions": q27,
         "q28_pii_scrub_stats": q28,
         "q29_multimodal_meta": q29,
