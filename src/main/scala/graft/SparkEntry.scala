@@ -708,6 +708,29 @@ object SparkEntry {
           expr("bit_xor(xxhash64(commit, sha2(cleaned, 256)))").as("digest"))
     }),
 
+    // Distilled quality classifier (graft.ml.QualityClassifier): trains
+    // the fastText-style linear head on the heuristic pipeline's keep
+    // labels INSIDE the query (fixed-point deterministic GD — the Python
+    // crosscheck retrains from scratch and must land on the identical
+    // model_digest), then scores the sample. All-integer outputs
+    // (score sums quantized to micro units via rint) — zero float-order
+    // exposure. Rows-only → crosschecked.
+    "q56_quality_classifier" -> ((s, _) => {
+      val docs = Fixtures.generate(s, 1500).toDF()
+      val teacher = QualityFilter.run(Fixtures.generate(s, 1500)).toDF()
+        .select(col("commit"), col("keep"))
+      val labeled = docs.join(teacher, Seq("commit"))
+      val m = graft.ml.QualityClassifier.train(labeled, "content", "keep", iters = 24)
+      labeled
+        .withColumn("score", graft.ml.QualityClassifier.scoreCol(m, col("content")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(expr("cast(rint(score * 1e6) as bigint)")).as("sum_score_micro"),
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(when((col("score") >= 0.5) === col("keep"), 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("model_digest", lit(m.digest))
+    }),
+
     // =================================================================
     // Corpus construction (reference consolidate/prepare lifecycle,
     // SURVEY.md §3.2) over synthesized raw sources — rows-only

@@ -21,8 +21,10 @@ object FastLangId {
   final case class Model(langs: Array[String], profiles: Array[Array[Float]])
       extends Serializable
 
-  /** Hash one n-gram (chars [from, until) of `s`) into [0, Dim). */
-  private def hashNgram(s: CharSequence, from: Int, until: Int): Int = {
+  /** Hash one n-gram (chars [from, until) of `s`) into [0, Dim). Shared
+    * with graft.ml.QualityClassifier (same hashed feature space).
+    */
+  private[graft] def hashNgram(s: CharSequence, from: Int, until: Int): Int = {
     var h = 0x811c9dc5
     var i = from
     while (i < until) {

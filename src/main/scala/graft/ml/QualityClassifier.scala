@@ -1,0 +1,199 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.langid.FastLangId
+
+/** Sparse hashed-n-gram features of one document: parallel arrays with
+  * `idx` sorted ascending (the canonical order every float reduction in
+  * this module uses), `v` L2-normalized term frequencies.
+  */
+final case class FeatRow(idx: Array[Int], v: Array[Double], y: Double)
+
+/** Distributed fastText-style quality classifier — a supervised linear
+  * head over the SAME hashed character 2+3-gram feature space the langid
+  * model uses (`FastLangId.hashNgram`, 2^15 dims), trained with full-batch
+  * gradient descent on Spark and used as a scoring column. The intended
+  * lifecycle is distillation: the heuristic pipeline labels a sample
+  * (teacher), the classifier compresses those rules into one dot product
+  * (student), and the full corpus is scored in a single narrow pass — the
+  * classifier-filter tier of modern corpus pipelines (fastText quality
+  * filters à la CCNet; FineWeb-Edu's distilled educational-quality
+  * scorer), built from public ideas only.
+  *
+  * DETERMINISM — the training is bit-reproducible at ANY parallelism and
+  * across runtimes, by construction:
+  *  - per-document gradients are quantized to fixed-point longs
+  *    (Q = 2^28); long addition is exact and commutative, so the
+  *    treeAggregate total is independent of row order, partition count
+  *    and combine-tree shape (same discipline as LMTrainer's counts);
+  *  - within-document float reductions (feature L2 norm, the dot
+  *    product) run in canonical ascending-index order;
+  *  - the logistic link is ALGEBRAIC — σ(z) = ½(1 + z/(1+|z|)) — using
+  *    only +, ×, / (every IEEE-754 implementation rounds these
+  *    identically), so no libm variance between JVM `Math.exp` and any
+  *    other runtime can leak into the weights. The Python crosscheck
+  *    retrains the model from scratch and must land on bit-identical
+  *    weights.
+  *
+  * Scale shape: `iters` passes over a PERSISTED featurized sample; each
+  * pass is one treeAggregate of a dense (2^15+1)-long array (~256 KB per
+  * task — constant, not corpus-sized) against broadcast weights.
+  * Classifier training wants 10^4-10^6 labeled rows, not the corpus: at
+  * 10^12 files you train on a sample (fixed-point headroom: |per-row
+  * gradient component| ≤ Q, so sums stay inside a long up to 2^35 rows)
+  * and spend the cluster on the ONE scoring pass, which is embarrassingly
+  * parallel.
+  */
+object QualityClassifier {
+
+  /** Feature space width; the weight vector carries the bias at index Dim. */
+  val Dim: Int = FastLangId.Dim
+  private val MaxFeatureChars = FastLangId.MaxFeatureChars
+  private val Q: Double = (1L << 28).toDouble
+
+  /** Canonical sparse features: hashed 2+3-gram counts over the
+    * (lowercased, length-capped) text, keys ascending, L2-normalized with
+    * the norm accumulated in ascending-key order. NOT FastLangId.features:
+    * that map form accumulates its norm in hash-table iteration order,
+    * which is deterministic per text but not canonical across
+    * implementations — here the Python retrain must reproduce every bit.
+    */
+  def features(text: String): (Array[Int], Array[Double]) = {
+    if (text == null || text.isEmpty) return (Array.empty, Array.empty)
+    val s = text.substring(0, math.min(text.length, MaxFeatureChars)).toLowerCase
+    val counts = new scala.collection.mutable.LongMap[Int]()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (i + 2 <= n) {
+        val k = FastLangId.hashNgram(s, i, i + 2).toLong
+        counts.update(k, counts.getOrElse(k, 0) + 1)
+      }
+      if (i + 3 <= n) {
+        val k = FastLangId.hashNgram(s, i, i + 3).toLong
+        counts.update(k, counts.getOrElse(k, 0) + 1)
+      }
+      i += 1
+    }
+    if (counts.isEmpty) return (Array.empty, Array.empty)
+    val idx = counts.keysIterator.map(_.toInt).toArray
+    java.util.Arrays.sort(idx)
+    var ss = 0.0
+    var j = 0
+    while (j < idx.length) {
+      val c = counts(idx(j).toLong).toDouble
+      ss += c * c
+      j += 1
+    }
+    val norm = math.sqrt(ss)
+    val v = new Array[Double](idx.length)
+    j = 0
+    while (j < idx.length) {
+      v(j) = counts(idx(j).toLong).toDouble / norm
+      j += 1
+    }
+    (idx, v)
+  }
+
+  /** Algebraic logistic link σ(z) = ½(1 + z/(1+|z|)) ∈ (0,1): same shape
+    * as the logistic sigmoid, but +,×,/ only — bit-identical on every
+    * IEEE-754 runtime (see class doc).
+    */
+  def link(z: Double): Double = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+
+  final case class Model(w: Array[Double]) extends Serializable {
+    def score(text: String): Double = {
+      val (idx, v) = features(text)
+      var z = w(Dim)
+      var j = 0
+      while (j < idx.length) { z += w(idx(j)) * v(j); j += 1 }
+      link(z)
+    }
+
+    /** Order-free weight digest (xor of index-mixed splitmix64 over the
+      * raw IEEE bits) — pins the whole training against an independent
+      * retrain without dumping 32k doubles.
+      */
+    def digest: Long = {
+      var d = 0L
+      var j = 0
+      while (j < w.length) {
+        d ^= graft.util.Hashing.splitmix64(
+          java.lang.Double.doubleToRawLongBits(w(j)) + j * 0x9e3779b97f4a7c15L)
+        j += 1
+      }
+      d
+    }
+  }
+
+  /** Featurized training sample (caller persists — `train` does). */
+  private def featurize(df: DataFrame, textCol: String, labelCol: String): Dataset[FeatRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(textCol).cast("string").as("t"), col(labelCol).cast("double").as("y"))
+      .map { r =>
+        val (idx, v) = features(if (r.isNullAt(0)) "" else r.getString(0))
+        FeatRow(idx, v, r.getDouble(1))
+      }
+  }
+
+  /** Full-batch gradient descent on the (feature, boolean-label) sample.
+    * Loss is the composite whose gradient is (σ(z)−y)·x with the algebraic
+    * link above; L2 regularization on all weights including bias.
+    */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      iters: Int = 40, lr: Double = 4.0, l2: Double = 1e-6): Model = {
+    require(iters > 0 && lr > 0, s"iters=$iters lr=$lr")
+    val spark = df.sparkSession
+    val feats = featurize(df, textCol, labelCol).persist()
+    val n = feats.count()
+    require(n > 0, "empty training sample")
+    require(n < (1L << 35), s"fixed-point gradient headroom exceeded: $n rows")
+    val w = new Array[Double](Dim + 1)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(w)
+      val grad = feats.rdd.treeAggregate(new Array[Long](Dim + 1))(
+        seqOp = (g, row) => {
+          val wv = bc.value
+          var z = wv(Dim)
+          var k = 0
+          while (k < row.idx.length) { z += wv(row.idx(k)) * row.v(k); k += 1 }
+          val e = link(z) - row.y
+          k = 0
+          while (k < row.idx.length) {
+            g(row.idx(k)) += Math.rint(e * row.v(k) * Q).toLong
+            k += 1
+          }
+          g(Dim) += Math.rint(e * Q).toLong
+          g
+        },
+        combOp = (a, b) => {
+          var j = 0
+          while (j < a.length) { a(j) += b(j); j += 1 }
+          a
+        })
+      bc.destroy()
+      var j = 0
+      while (j <= Dim) {
+        w(j) -= lr * (grad(j).toDouble / Q / n + l2 * w(j))
+        j += 1
+      }
+      it += 1
+    }
+    feats.unpersist()
+    Model(w)
+  }
+
+  /** Scoring column: closure-ships the trained model (same pattern as the
+    * langid / perplexity columns — ~256 KB of weights ride the task
+    * closure; broadcast explicitly at a 1000-executor scale if the model
+    * is scored from many jobs).
+    */
+  def scoreCol(m: Model, text: Column): Column = {
+    val f = udf((t: String) => m.score(if (t == null) "" else t))
+    f(text)
+  }
+}

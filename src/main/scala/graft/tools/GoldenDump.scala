@@ -162,7 +162,30 @@ object GoldenDump {
       (0 until a.numElements()).map(a.getLong).mkString("[", ",", "]")
     }
     sb.append(s""""window_fps_all": ${wfDump(0)},\n""")
-    sb.append(s""""window_fps_sel3": ${wfDump(3)}\n""")
+    sb.append(s""""window_fps_sel3": ${wfDump(3)},\n""")
+
+    // --- quality classifier (graft.ml) ------------------------------------
+    // Feature vectors as RAW IEEE-754 bits (no decimal round-trip), the
+    // algebraic link on sample points, and a 3-iteration distributed
+    // train over 100 fixture docs with a pure-function-of-index label —
+    // the Python port must retrain to the identical digest.
+    import graft.ml.QualityClassifier
+    def dbits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+    val featTexts = Seq("def foo(x):\n    return x + 1\n", "aaaa", "",
+      "The quick brown fox. API_KEY = \"x\"")
+    sb.append("\"classifier_features\": [")
+    sb.append(featTexts.map { t =>
+      val (fi, fv) = QualityClassifier.features(t)
+      s"""{"text": ${jstr(t)}, "idx": [${fi.mkString(",")}], "vbits": [${fv.map(dbits).mkString(",")}]}"""
+    }.mkString(","))
+    sb.append("],\n")
+    val linkPts = Seq(-3.5, -1.0, 0.0, 0.25, 2.0)
+    sb.append(s""""classifier_link_bits": [${linkPts.map(z => dbits(QualityClassifier.link(z))).mkString(",")}],\n""")
+    val trainDocs = spark.createDataFrame(
+      (0L until 100L).map(i => (Fixtures.genRow(i)._1.content, i % 100 < 74)))
+      .toDF("content", "keep")
+    val cm = QualityClassifier.train(trainDocs, "content", "keep", iters = 3)
+    sb.append(s""""classifier_train_100x3": {"digest": ${cm.digest}, "biasBits": ${dbits(cm.w(QualityClassifier.Dim))}, "w0Bits": [${cm.w.take(4).map(dbits).mkString(",")}]}\n""")
 
     sb.append("}\n")
     Files.writeString(Paths.get(out), sb.result())

@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.fixtures.Fixtures
+import graft.pipeline.QualityFilter
+
+class QualityClassifierSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val labeled = {
+    val docs = Fixtures.generate(spark, 1200).toDF()
+    val teacher = QualityFilter.run(Fixtures.generate(spark, 1200)).toDF()
+      .select(col("commit"), col("keep"))
+    docs.join(teacher, Seq("commit")).persist()
+  }
+
+  test("features: canonical ascending indices, unit L2 norm, empty-safe") {
+    val (idx, v) = QualityClassifier.features("def load(path):\n    return path")
+    assert(idx.length == v.length && idx.nonEmpty)
+    assert(idx.sliding(2).forall(p => p.length < 2 || p(0) < p(1)), "strictly ascending")
+    val ss = v.map(x => x * x).sum
+    assert(math.abs(ss - 1.0) < 1e-12, s"unit norm, got $ss")
+    assert(QualityClassifier.features("") == ((Array.empty[Int], Array.empty[Double]))
+      || QualityClassifier.features("")._1.isEmpty)
+    assert(QualityClassifier.features(null)._1.isEmpty)
+  }
+
+  test("link: algebraic sigmoid is bounded, monotone, centered") {
+    assert(QualityClassifier.link(0.0) == 0.5)
+    assert(QualityClassifier.link(100.0) > 0.99 && QualityClassifier.link(-100.0) < 0.01)
+    val zs = Seq(-5.0, -1.0, -0.1, 0.0, 0.1, 1.0, 5.0)
+    zs.sliding(2).foreach { case Seq(a, b) =>
+      assert(QualityClassifier.link(a) < QualityClassifier.link(b))
+    }
+  }
+
+  test("training is bit-identical at any parallelism and input order") {
+    val base = labeled.limit(300)
+    val m1 = QualityClassifier.train(base.repartition(1), "content", "keep", iters = 5)
+    val m2 = QualityClassifier.train(base.repartition(7), "content", "keep", iters = 5)
+    val m3 = QualityClassifier.train(
+      base.repartition(3, col("commit")), "content", "keep", iters = 5)
+    def bits(m: QualityClassifier.Model): Seq[Long] =
+      m.w.map(java.lang.Double.doubleToRawLongBits).toSeq
+    assert(bits(m1) == bits(m2), "1 vs 7 round-robin partitions")
+    assert(bits(m1) == bits(m3), "vs hash partitioning")
+    assert(m1.digest == m2.digest && m2.digest == m3.digest)
+  }
+
+  test("distilled classifier agrees with the heuristic teacher") {
+    val m = QualityClassifier.train(labeled, "content", "keep")
+    val scored = labeled
+      .withColumn("score", QualityClassifier.scoreCol(m, col("content")))
+    val (agree, total) = scored
+      .select(sum(when((col("score") >= 0.5) === col("keep"), 1L).otherwise(0L)),
+        count(lit(1)))
+      .as[(Long, Long)].head()
+    val acc = agree.toDouble / total
+    info(s"teacher agreement: $agree/$total = $acc")
+    assert(acc >= 0.9, s"distillation accuracy $acc below gate")
+    // scores are probabilities
+    val (lo, hi) = scored.select(min(col("score")), max(col("score")))
+      .as[(Double, Double)].head()
+    assert(lo > 0.0 && hi < 1.0)
+  }
+}

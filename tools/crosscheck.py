@@ -439,6 +439,27 @@ def q55():
     return cols, [(l, g[0], g[1], g[2], i64(g[3])) for l, g in groups.items()]
 
 
+def q56():
+    """Retrains the distilled quality classifier FROM SCRATCH (pure-Python
+    fixed-point GD, graftcheck.classifier) on the same pipeline keep
+    labels and must land on the bit-identical model digest and scores."""
+    from graftcheck import classifier
+    rows = [(cf["content"], cf["lang"], a["keep"]) for cf, _g, a in _analyses(1500)]
+    w = classifier.train([(t, k) for t, _l, k in rows], iters=24)
+    dg = classifier.digest(w)
+    groups = {}
+    for t, lang, k in rows:
+        sc = classifier.score(w, t)
+        g = groups.setdefault(lang, [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += round(sc * 1e6)
+        g[2] += 1 if sc >= 0.5 else 0
+        g[3] += 1 if (sc >= 0.5) == k else 0
+    cols = ["lang", "n_files", "sum_score_micro", "n_pred_keep", "n_agree",
+            "model_digest"]
+    return cols, [(l, g[0], g[1], g[2], g[3], dg) for l, g in groups.items()]
+
+
 def q29():
     groups = {}
     for m in multimodal.decode_meta(multimodal.synthesize(3000)):
@@ -629,6 +650,7 @@ def main():
         "q35_curation": lambda: q35(docs),
         "q36_pipeline_digest": q36,
         "q55_line_dedup": q55,
+        "q56_quality_classifier": q56,
         "q27_pipeline_decisions": q27,
         "q28_pii_scrub_stats": q28,
         "q29_multimodal_meta": q29,

@@ -1,0 +1,98 @@
+"""Bit-exact port of graft.ml.QualityClassifier: canonical sorted-key
+hashed 2+3-gram features, the algebraic logistic link (no libm), and the
+fixed-point full-batch gradient-descent trainer. Every float operation
+mirrors the JVM's evaluation order, so a from-scratch retrain here must
+land on bit-identical weights (pinned by selftest against
+classifier_train_100x3 in goldens.json)."""
+import math
+import struct
+
+from .langmodels import _hash_ngram
+from .hashes import splitmix64, i64
+
+DIM = 1 << 15
+MAX_FEATURE_CHARS = 4000
+Q = float(1 << 28)
+PHI = 0x9E3779B97F4A7C15
+M64 = (1 << 64) - 1
+
+
+def features(text):
+    """→ (idx list ascending, value list) with the L2 norm accumulated in
+    ascending-key order, exactly like the Scala canonical featurizer."""
+    if not text:
+        return [], []
+    s = text[:MAX_FEATURE_CHARS].lower()
+    counts = {}
+    n = len(s)
+    for i in range(n):
+        if i + 2 <= n:
+            k = _hash_ngram(s, i, i + 2)
+            counts[k] = counts.get(k, 0) + 1
+        if i + 3 <= n:
+            k = _hash_ngram(s, i, i + 3)
+            counts[k] = counts.get(k, 0) + 1
+    if not counts:
+        return [], []
+    idx = sorted(counts)
+    ss = 0.0
+    for k in idx:
+        c = float(counts[k])
+        ss += c * c
+    norm = math.sqrt(ss)
+    return idx, [float(counts[k]) / norm for k in idx]
+
+
+def link(z):
+    """Algebraic logistic: 0.5 * (1 + z / (1 + |z|)) — +,*,/ only."""
+    return 0.5 * (1.0 + z / (1.0 + abs(z)))
+
+
+def train(rows, iters=40, lr=4.0, l2=1e-6):
+    """rows: [(text, bool_label)]. Returns the weight list (len DIM+1,
+    bias last). Mirrors QualityClassifier.train exactly: per-row gradients
+    quantized via rint(e*v*Q) (Python round() is ties-to-even like
+    Math.rint), summed as exact ints, driver update in the same op order."""
+    feats = []
+    for t, y in rows:
+        fi, fv = features(t)
+        feats.append((fi, fv, 1.0 if y else 0.0))
+    n = len(feats)
+    w = [0.0] * (DIM + 1)
+    for _ in range(iters):
+        g = [0] * (DIM + 1)
+        for fi, fv, y in feats:
+            z = w[DIM]
+            for k in range(len(fi)):
+                z += w[fi[k]] * fv[k]
+            e = link(z) - y
+            for k in range(len(fi)):
+                g[fi[k]] += round(e * fv[k] * Q)
+            g[DIM] += round(e * Q)
+        for j in range(DIM + 1):
+            w[j] -= lr * (g[j] / Q / n + l2 * w[j])
+    return w
+
+
+def score(w, text):
+    fi, fv = features(text)
+    z = w[DIM]
+    for k in range(len(fi)):
+        z += w[fi[k]] * fv[k]
+    return link(z)
+
+
+def _dbits(d):
+    return struct.unpack(">q", struct.pack(">d", d))[0]
+
+
+def digest(w):
+    """Order-free weight digest, mirrors Model.digest."""
+    d = 0
+    for j, x in enumerate(w):
+        d ^= splitmix64((_dbits(x) + j * PHI) & M64) & M64
+    return i64(d)
+
+
+def dbits(d):
+    return _dbits(d)

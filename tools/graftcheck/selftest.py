@@ -125,6 +125,27 @@ def main():
             assert got == case["cos"], f"cosine {case}: python {got}"
             checks += 1
 
+    if "classifier_train_100x3" in g:  # graft.ml.QualityClassifier port
+        from graftcheck import classifier
+
+        for case in g["classifier_features"]:
+            fi, fv = classifier.features(case["text"])
+            assert fi == case["idx"], f"feature idx for {case['text']!r}"
+            assert [classifier.dbits(x) for x in fv] == case["vbits"], \
+                f"feature value bits for {case['text']!r}"
+            checks += 2
+        link_pts = [-3.5, -1.0, 0.0, 0.25, 2.0]
+        got_link = [classifier.dbits(classifier.link(z)) for z in link_pts]
+        assert got_link == g["classifier_link_bits"], "algebraic link not bit-exact"
+        checks += 1
+        rows = [(fixtures.gen_row(i)[0]["content"], i % 100 < 74) for i in range(100)]
+        w = classifier.train(rows, iters=3)
+        ct = g["classifier_train_100x3"]
+        assert classifier.dbits(w[classifier.DIM]) == ct["biasBits"], "bias bits"
+        assert [classifier.dbits(x) for x in w[:4]] == ct["w0Bits"], "w0..3 bits"
+        assert classifier.digest(w) == ct["digest"], "retrained weight digest"
+        checks += 3
+
     print(f"graftcheck selftest: {checks} golden checks, all bit-exact")
 
 
