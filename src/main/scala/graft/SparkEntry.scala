@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures
-import graft.ops.{AsOf, Decontam, Dedup, Mixing, Multimodal, Packing, Sessionize, Similarity, TextOps}
+import graft.ops.{AsOf, Decontam, Dedup, Mixing, Multimodal, Packing, Sessionize, Similarity, TextOps, Toxicity}
 import graft.pipeline.QualityFilter
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -247,6 +247,23 @@ object SparkEntry {
           round(avg(col("dup_token_frac")), 3).as("avg_dup_token_frac"),
           round(avg(col("top_bigram_frac")), 3).as("avg_top_bigram_frac"),
           sum(when(col("dup_token_frac") > 0.5, 1L).otherwise(0L)).as("n_repetitive"))
+    }),
+
+    // deny-list toxicity scrub (north rule "PII/toxicity scrubbing"; C4
+    // blocklist mechanism): one codegen'd regex alternation — hits, masked
+    // text, per-source rollup. Integer-exact aggregates → DuckDB-bitwise;
+    // the pattern string is shared verbatim with the oracle (RE2-safe
+    // grammar enforced by Scrubber.denyPattern).
+    "q57_toxicity_scrub" -> ((s, dir) => {
+      val terms = Seq("slow", "big", "merge")
+      Toxicity.withToxicitySignals(
+          t(s, dir, "documents").filter(length(col("text")) > 0), "text", terms)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tox_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("tox_hits").cast("long")).as("total_hits"),
+          sum(size(col("tox_terms")).cast("long")).as("sum_distinct_terms"),
+          sum(length(col("tox_scrubbed")).cast("long")).as("scrubbed_chars"))
     }),
 
     "q16_fingerprints" -> ((s, dir) => {
@@ -1016,6 +1033,22 @@ object SparkEntry {
            round(avg(coalesce(topf, 0.0)), 3) AS avg_top_bigram_frac,
            CAST(sum(CASE WHEN dupf > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
          FROM dup LEFT JOIN top USING (doc_id) GROUP BY source""",
+
+    "q57_toxicity_scrub" ->
+      """WITH s AS (
+           SELECT source,
+             len(regexp_extract_all(text, '(?i)\b(?:slow|big|merge)\b', 0)) AS hits,
+             len(list_distinct(list_transform(
+               regexp_extract_all(text, '(?i)\b(?:slow|big|merge)\b', 0),
+               x -> lower(x)))) AS n_terms,
+             regexp_replace(text, '(?i)\b(?:slow|big|merge)\b', '[REDACTED]', 'g') AS scrubbed
+           FROM documents WHERE length(text) > 0)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(sum(n_terms) AS BIGINT) AS sum_distinct_terms,
+           CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_chars
+         FROM s GROUP BY source""",
 
     "q44_weighted_sample" ->
       """SELECT source, count(*) AS n_kept, round(avg(n_chars), 2) AS avg_chars

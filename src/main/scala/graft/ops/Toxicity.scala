@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.scrub.Scrubber
+
+/** Deny-list toxicity detection + masking over a text column (north rule:
+  * "PII/toxicity scrubbing"; the mechanism of C4's blocklist filter,
+  * Raffel et al. 2020 §2.2 — "any page that contained a word on the
+  * blocklist was removed", here refined to per-doc signals so callers can
+  * choose mask-vs-drop).
+  *
+  * Execution shape: the deny-list compiles to ONE case-insensitive
+  * word-bounded alternation evaluated by native `regexp_count` /
+  * `regexp_extract_all` / `regexp_replace` — pure codegen projection, zero
+  * shuffles, zero UDFs; the pattern grammar is restricted (ASCII literal
+  * alternation, no lookarounds, no `\Q`) so java.util.regex and RE2 (the
+  * DuckDB oracle) agree match-for-match (SparkEntry q57).
+  *
+  * The row-scalar twin lives in [[graft.scrub.Scrubber.scrub(text:String,deny:Option[java\.util\.regex\.Pattern])*]],
+  * where deny matches join the PII candidates under the same first-wins
+  * overlap resolution — use that inside the typed pipeline; use this when
+  * toxicity is a standalone columnar stage.
+  */
+object Toxicity {
+
+  /** Shared mask token (same splice literal as the PII scrubber). */
+  val Mask: String = Scrubber.Redaction
+
+  /** Validate the list and return the dual-dialect pattern string. */
+  def pattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "deny-list must be non-empty")
+    Scrubber.denyPattern(terms) // validation side effect (ASCII alnum terms)
+    Scrubber.denyPatternString(terms)
+  }
+
+  /** Number of deny-list hits in `text` (0 for null/empty). */
+  def hits(text: Column, terms: Seq[String]): Column =
+    coalesce(regexp_count(text, lit(pattern(terms))), lit(0))
+
+  /** Sorted distinct lowercased matched terms. */
+  def matchedTerms(text: Column, terms: Seq[String]): Column =
+    sort_array(array_distinct(transform(
+      regexp_extract_all(text, lit(pattern(terms)), lit(0)), t => lower(t))))
+
+  /** `text` with every deny-list match spliced to [[Mask]]. */
+  def masked(text: Column, terms: Seq[String]): Column =
+    regexp_replace(text, lit(pattern(terms)), lit(Mask))
+
+  /** Hits per 10k characters — the density signal used for thresholded
+    * drops (0.0 for empty text).
+    */
+  def density(text: Column, terms: Seq[String]): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(hits(text, terms).cast("double") * 10000.0 / length(text))
+
+  /** Adds `tox_hits`, `tox_terms`, `tox_density`, `tox_scrubbed`. */
+  def withToxicitySignals(df: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("tox_hits", hits(t, terms))
+      .withColumn("tox_terms", matchedTerms(t, terms))
+      .withColumn("tox_density", density(t, terms))
+      .withColumn("tox_scrubbed", masked(t, terms))
+  }
+
+  /** C4-style document drop: keep rows with at most `maxHits` deny-list
+    * matches (C4 used `maxHits = 0`). Pure codegen predicate — pushes into
+    * the scan like any filter.
+    */
+  def dropToxic(df: DataFrame, textCol: String, terms: Seq[String],
+      maxHits: Int = 0): DataFrame =
+    df.filter(hits(col(textCol), terms) <= maxHits)
+}

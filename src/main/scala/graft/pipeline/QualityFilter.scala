@@ -36,8 +36,17 @@ object QualityFilter {
       minLangConf: Double = 0.22,
       maxPpl: Double = 30.0,
       keepLangs: Set[String] = LangCorpus.KeepLangs,
-      heuristics: Heuristics.Config = Heuristics.Default
-  ) extends Serializable
+      heuristics: Heuristics.Config = Heuristics.Default,
+      // Toxicity deny-list (north rule "PII/toxicity scrubbing"). Empty (the
+      // default) disables the stage and is bitwise identical to PII-only:
+      // every golden / digest / F1 gate pins that default.
+      toxicTerms: Seq[String] = Nil
+  ) extends Serializable {
+    // compiled once per JVM that reads the broadcast config (Pattern is not
+    // worth shipping; recompiling per executor is cheap and deterministic)
+    @transient lazy val denyCompiled: Option[java.util.regex.Pattern] =
+      Scrubber.denyPattern(toxicTerms)
+  }
 
   val Default: Config = Config()
 
@@ -75,7 +84,7 @@ object QualityFilter {
       lm: NgramLM.Model,
       cfg: Config): Analysis = {
     val content = if (content0 == null) "" else content0
-    val s = Scrubber.scrub(content0)
+    val s = Scrubber.scrub(content0, cfg.denyCompiled)
     if (s.error != null) {
       Analysis("unknown", 0.0, -1.0, Heuristics.stats(content),
         hasPii = false, Vector.empty, Vector.empty, s.scrubbed, keep = false, s.error)

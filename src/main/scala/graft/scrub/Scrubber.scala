@@ -82,6 +82,27 @@ object Scrubber {
     def overlaps(o: Span): Boolean = start < o.end && o.start < end
   }
 
+  /** Compile a toxicity deny-list into one case-insensitive, word-bounded
+    * alternation. Terms are restricted to `[A-Za-z0-9]+` so the SAME pattern
+    * string is valid under both java.util.regex and RE2 (the DuckDB oracle
+    * dialect) — no `\Q…\E` quoting, no lookarounds. Returns None for an
+    * empty list (toxicity scrubbing off, the default).
+    */
+  def denyPattern(terms: Seq[String]): Option[Pattern] = {
+    if (terms.isEmpty) None
+    else {
+      terms.foreach { t =>
+        require(t.nonEmpty && t.forall(_.isLetterOrDigit) && t.forall(_ < 128),
+          s"deny-list terms must be ASCII [A-Za-z0-9]+: '$t'")
+      }
+      Some(Pattern.compile(denyPatternString(terms)))
+    }
+  }
+
+  /** The raw pattern string (shared verbatim with the DuckDB oracle SQL). */
+  def denyPatternString(terms: Seq[String]): String =
+    "(?i)\\b(?:" + terms.mkString("|") + ")\\b"
+
   private def matches(p: Pattern, text: String, cat: String, group: Int = 0): Vector[Span] = {
     val m: Matcher = p.matcher(text)
     val out = Vector.newBuilder[Span]
@@ -96,7 +117,16 @@ object Scrubber {
     * Cheap char-presence gates skip whole regex passes on the (common) rows
     * that cannot contain the category at all.
     */
-  def findSpans(text: String): Vector[Span] = {
+  def findSpans(text: String): Vector[Span] = findSpans(text, None)
+
+  /** As [[findSpans]], plus an optional toxicity deny-list (north rule:
+    * "PII/toxicity scrubbing"). Deny-list matches enter the SAME candidate
+    * pool and first-wins overlap resolution as the PII categories, typed
+    * `TOXICITY` — so a deny term inside an email local-part is not
+    * double-redacted. `deny = None` (the default everywhere) is bitwise
+    * identical to the PII-only behavior.
+    */
+  def findSpans(text: String, deny: Option[Pattern]): Vector[Span] = {
     val hasAt = text.indexOf('@') >= 0
     val hasColon = text.indexOf(':') >= 0
     var hasDigit = false
@@ -111,7 +141,8 @@ object Scrubber {
         (if (hasColon) matches(Ipv6, text, "IP_ADDRESS") else Vector.empty) ++
         matches(SecretToken, text, "SECRET") ++
         matches(SecretAssign, text, "SECRET", group = 1) ++
-        (if (hasDigit) matches(Phone, text, "PHONE") else Vector.empty)
+        (if (hasDigit) matches(Phone, text, "PHONE") else Vector.empty) ++
+        deny.map(p => matches(p, text, "TOXICITY")).getOrElse(Vector.empty)
     val sorted = candidates.sortBy(s => (s.start, -(s.end - s.start), s.category))
     val kept = Vector.newBuilder[Span]
     var lastEnd = -1
@@ -144,7 +175,14 @@ object Scrubber {
   /** Total function: validation errors are captured, never thrown
     * (reference contract src/inference.py:355-421, F8 in SURVEY.md §2.3).
     */
-  def scrub(text: String): ScrubResult = {
+  def scrub(text: String): ScrubResult = scrub(text, None)
+
+  /** As [[scrub]], with an optional toxicity deny-list (see
+    * [[findSpans(text:String,deny:Option[java\.util\.regex\.Pattern])*]]).
+    * TOXICITY spans redact with the same `[REDACTED]` splice and surface in
+    * `piiTypes`/`entities` like any PII category.
+    */
+  def scrub(text: String, deny: Option[Pattern]): ScrubResult = {
     if (text == null)
       ScrubResult(hasPii = false, "", Vector.empty, Vector.empty, ErrNull)
     else if (text.trim.isEmpty)
@@ -152,7 +190,7 @@ object Scrubber {
     else if (text.length > MaxChars)
       ScrubResult(hasPii = false, text, Vector.empty, Vector.empty, ErrTooLarge)
     else {
-      val spans = findSpans(text)
+      val spans = findSpans(text, deny)
       val entities = spans.map { sp =>
         Entity(text.substring(sp.start, sp.end), sp.category, sp.start, sp.end, 1.0)
       }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.scrub.Scrubber
+
+/** Deny-list toxicity scrub: columnar op + Scrubber integration parity. */
+class ToxicitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val terms = Seq("frak", "blast")
+
+  test("hits are case-insensitive and word-bounded") {
+    val df = Seq(
+      (1L, "Frak this FRAK blast"), // 3 hits
+      (2L, "frakking blaster"),     // 0: both only as substrings
+      (3L, "frak-adjacent (blast)") // 2: punctuation is a boundary
+    ).toDF("doc_id", "text")
+    val out = Toxicity.withToxicitySignals(df, "text", terms)
+      .select("doc_id", "tox_hits").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 0, 3L -> 2))
+  }
+
+  test("matched terms are distinct, lowercased, sorted; masking splices the redaction token") {
+    val df = Seq((1L, "Blast! frak the FRAK.")).toDF("doc_id", "text")
+    val row = Toxicity.withToxicitySignals(df, "text", terms).head()
+    assert(row.getAs[scala.collection.Seq[String]]("tox_terms").toSeq ==
+      Seq("blast", "frak"))
+    assert(row.getAs[String]("tox_scrubbed") ==
+      "[REDACTED]! [REDACTED] the [REDACTED].")
+  }
+
+  test("dropToxic keeps clean docs only at maxHits=0 and thresholds correctly") {
+    val df = Seq(
+      (1L, "clean text"), (2L, "one frak"), (3L, "frak blast frak")
+    ).toDF("doc_id", "text")
+    assert(Toxicity.dropToxic(df, "text", terms).select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+    assert(Toxicity.dropToxic(df, "text", terms, maxHits = 1).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("density is hits per 10k chars and 0 for empty") {
+    val text = "frak " * 20 // 100 chars, 20 hits
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val d = Toxicity.withToxicitySignals(df, "text", terms)
+      .select("doc_id", "tox_density").as[(Long, Double)].collect().toMap
+    assert(d(1L) == 2000.0)
+    assert(d(2L) == 0.0)
+  }
+
+  test("deny-list terms are validated (ASCII alnum only)") {
+    intercept[IllegalArgumentException] { Toxicity.pattern(Seq("a b")) }
+    intercept[IllegalArgumentException] { Toxicity.pattern(Seq("")) }
+    intercept[IllegalArgumentException] { Toxicity.pattern(Seq("café")) }
+  }
+
+  // ------------------------------------------------------------------
+  // Scrubber integration (the typed-pipeline path)
+  // ------------------------------------------------------------------
+
+  test("Scrubber with deny-list emits TOXICITY entities under first-wins overlap resolution") {
+    val deny = Scrubber.denyPattern(terms)
+    val r = Scrubber.scrub("contact frak@example.com or frak it", deny)
+    // the frak INSIDE the email local-part is claimed by the EMAIL span;
+    // only the standalone word is a TOXICITY entity
+    assert(r.piiTypes == Vector("EMAIL", "TOXICITY"))
+    val tox = r.entities.filter(_.`type` == "TOXICITY")
+    assert(tox.map(_.text) == Vector("frak"))
+    assert(r.scrubbed == "contact [REDACTED] or [REDACTED] it")
+  }
+
+  test("empty deny-list is bitwise identical to PII-only scrub") {
+    val texts = Seq("mail a@b.co", "frak 10.0.0.1", "", "plain words")
+    texts.foreach { t =>
+      assert(Scrubber.scrub(t, None) == Scrubber.scrub(t))
+      assert(Scrubber.denyPattern(Nil).isEmpty)
+    }
+  }
+
+  test("pipeline config with toxicTerms masks and flags; default config unchanged") {
+    import graft.pipeline.QualityFilter
+    val cfg = QualityFilter.Config(toxicTerms = terms)
+    val a = QualityFilter.analyzeContent("a frak line of code", // non-blank
+      graft.langid.FastLangId.model, graft.ppl.NgramLM.model, cfg)
+    assert(a.piiTypes.contains("TOXICITY"))
+    assert(a.scrubbedContent == "a [REDACTED] line of code")
+    val d = QualityFilter.analyzeContent("a frak line of code",
+      graft.langid.FastLangId.model, graft.ppl.NgramLM.model, QualityFilter.Default)
+    assert(d.piiTypes.isEmpty && d.scrubbedContent == "a frak line of code")
+  }
+}
