@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures
-import graft.ops.{AsOf, Decontam, Dedup, Mixing, Multimodal, Packing, Sessionize, Similarity, TextOps, Toxicity}
+import graft.ops.{AsOf, Decontam, Dedup, Dsir, Mixing, Multimodal, Packing, Sessionize, Similarity, TextOps, Toxicity}
 import graft.pipeline.QualityFilter
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -264,6 +264,23 @@ object SparkEntry {
           sum(col("tox_hits").cast("long")).as("total_hits"),
           sum(size(col("tox_terms")).cast("long")).as("sum_distinct_terms"),
           sum(length(col("tox_scrubbed")).cast("long")).as("scrubbed_chars"))
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023): score every doc
+    // by hashed-bag-of-words target/raw log ratio, target = src0 slice.
+    // Two bounded-key (≤1024) aggregations + broadcast + narrow scoring.
+    // Per-row weights quantized to micro units (rint) so the aggregate is
+    // integer-exact; the Python crosscheck recomputes scores from scratch
+    // and must land on identical integers. Rows-only → crosschecked.
+    "q58_dsir_selection" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("source") === "src0" && length(col("text")) > 0)
+      Dsir.withImportanceWeights(docs, target, "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(rint(dsir_weight * 1e6) as bigint)")).as("sum_w_micro"),
+          sum(when(col("dsir_weight") > 0.0, 1L).otherwise(0L)).as("n_positive"),
+          sum(col("dsir_tokens").cast("long")).as("n_tokens"))
     }),
 
     "q16_fingerprints" -> ((s, dir) => {

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Hashing
+
+/** DSIR-style data selection via importance resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"): score
+  * every raw document by how target-domain-like its hashed bag-of-words is,
+  * then keep the highest-weight slice.
+  *
+  *  - feature map: each token hashes (FNV-1a over the ASCII-lowercased
+  *    token) into one of `nBuckets` buckets;
+  *  - both corpora reduce to one `long[nBuckets]` count vector — the ONLY
+  *    aggregations in the op, with key cardinality ≤ nBuckets, so the
+  *    shuffle is O(nBuckets × partitions) regardless of corpus size
+  *    (same bounded-key discipline as the trigram LM trainer);
+  *  - per-doc log importance weight
+  *    `w(d) = Σ_tokens [ln p̂_target(b(t)) − ln q̂_raw(b(t))]` with Laplace
+  *    +1 smoothing, evaluated row-locally against the broadcast ratio
+  *    table — a narrow map, zero shuffles;
+  *  - selection: `selectByThreshold` is a pure filter (no shuffle);
+  *    `selectTopK` is a global TakeOrderedAndProject (bounded by k).
+  *
+  * At 100 TB the whole op costs two bounded-key aggregations plus one
+  * narrow scoring pass — nothing scales with corpus size except the scans.
+  *
+  * Determinism (pinned by the Python crosscheck, SparkEntry q58):
+  * tokenization is "maximal runs of chars with code point > 32" (identical
+  * on both sides, no regex dialect exposure), the hash is the goldens-pinned
+  * FNV-1a, and each doc's weight sums its token log-ratios in token order.
+  */
+object Dsir {
+
+  val DefaultBuckets: Int = 1024
+
+  /** Maximal runs of code points > 32 — the dual-implementation-stable
+    * tokenizer (Java `\s` and Python `str.split` disagree on unicode
+    * whitespace; `c > ' '` does not).
+    */
+  def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val out = Array.newBuilder[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) <= ' ') i += 1
+      val start = i
+      while (i < n && text.charAt(i) > ' ') i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.result()
+  }
+
+  /** Feature bucket of one token: FNV-1a over the ASCII-lowercased token,
+    * floor-mod into [0, nBuckets).
+    */
+  def bucketOf(token: String, nBuckets: Int): Int = {
+    val sb = new java.lang.StringBuilder(token.length)
+    var i = 0
+    while (i < token.length) {
+      val c = token.charAt(i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    java.lang.Math.floorMod(Hashing.fnv1a64(sb), nBuckets.toLong).toInt
+  }
+
+  /** Corpus bucket-count vector. One explode + one groupBy whose key
+    * cardinality is ≤ nBuckets (map-side partial aggregation collapses each
+    * partition to ≤ nBuckets rows before the shuffle); the driver collect is
+    * ≤ nBuckets entries — the bounded aggregate-then-broadcast pattern.
+    */
+  def bucketCounts(df: DataFrame, textCol: String,
+      nBuckets: Int = DefaultBuckets): Array[Long] = {
+    val nb = nBuckets
+    val bucketsUdf = udf { (text: String) =>
+      tokenize(text).map(t => bucketOf(t, nb))
+    }
+    val rows = df
+      .select(explode(bucketsUdf(col(textCol))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    val out = new Array[Long](nBuckets)
+    rows.foreach(r => out(r.getAs[Int]("b")) = r.getAs[Long]("c"))
+    out
+  }
+
+  /** Smoothed per-bucket log ratio `ln p̂_target(b) − ln q̂_raw(b)`
+    * (Laplace +1 on both distributions).
+    */
+  def logRatios(target: Array[Long], raw: Array[Long]): Array[Double] = {
+    require(target.length == raw.length, "bucket count mismatch")
+    val b = target.length
+    val tTot = target.sum.toDouble + b
+    val rTot = raw.sum.toDouble + b
+    Array.tabulate(b) { i =>
+      math.log((target(i) + 1.0) / tTot) - math.log((raw(i) + 1.0) / rTot)
+    }
+  }
+
+  /** Adds `dsir_weight` (the per-doc log importance weight) and
+    * `dsir_tokens` to `raw`, scoring against the `target` sample. Blank
+    * docs get weight 0. Both count aggregations run here; the ratio table
+    * ships as a broadcast.
+    */
+  def withImportanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val ratios = logRatios(
+      bucketCounts(target, textCol, nBuckets),
+      bucketCounts(raw, textCol, nBuckets))
+    val bc = raw.sparkSession.sparkContext.broadcast(ratios)
+    val nb = nBuckets
+    val scoreUdf = udf { (text: String) =>
+      val r = bc.value
+      val toks = tokenize(text)
+      var w = 0.0
+      var i = 0
+      while (i < toks.length) { w += r(bucketOf(toks(i), nb)); i += 1 }
+      (w, toks.length)
+    }
+    raw.withColumn("__s", scoreUdf(col(textCol)))
+      .withColumn("dsir_weight", col("__s._1"))
+      .withColumn("dsir_tokens", col("__s._2"))
+      .drop("__s")
+  }
+
+  /** Keep docs whose weight clears `minWeight` — a pure codegen'd filter
+    * over the scored frame (use per-token normalization upstream if doc
+    * lengths vary wildly).
+    */
+  def selectByThreshold(scored: DataFrame, minWeight: Double): DataFrame =
+    scored.filter(col("dsir_weight") > minWeight)
+
+  /** Global top-k by (weight desc, id asc) — plans as
+    * TakeOrderedAndProject: per-partition heaps of size k, never a full
+    * sort.
+    */
+  def selectTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.orderBy(col("dsir_weight").desc, col(idCol).asc).limit(k)
+}

@@ -185,7 +185,33 @@ object GoldenDump {
       (0L until 100L).map(i => (Fixtures.genRow(i)._1.content, i % 100 < 74)))
       .toDF("content", "keep")
     val cm = QualityClassifier.train(trainDocs, "content", "keep", iters = 3)
-    sb.append(s""""classifier_train_100x3": {"digest": ${cm.digest}, "biasBits": ${dbits(cm.w(QualityClassifier.Dim))}, "w0Bits": [${cm.w.take(4).map(dbits).mkString(",")}]}\n""")
+    sb.append(s""""classifier_train_100x3": {"digest": ${cm.digest}, "biasBits": ${dbits(cm.w(QualityClassifier.Dim))}, "w0Bits": [${cm.w.take(4).map(dbits).mkString(",")}]},\n""")
+
+    // --- DSIR importance weights (ops/Dsir.scala) -------------------------
+    // bucket map, then weight RAW BITS over a tiny fixed corpus — pins the
+    // tokenizer, the FNV bucket map, and Math.log parity in one shot.
+    import graft.ops.Dsir
+    val dsirToks = Seq("def", "The", "RETURN", "x1", "café", "a_b", "0042")
+    sb.append("\"dsir_buckets\": {")
+    sb.append(dsirToks.map(t => s"${jstr(t)}: ${Dsir.bucketOf(t, 1024)}").mkString(","))
+    sb.append("},\n")
+    val dsirTarget = Seq("alpha beta beta", "beta gamma")
+    val dsirRaw = dsirTarget ++ Seq("delta epsilon  zeta", "alpha zeta\tnine")
+    def dsirCnt(texts: Seq[String]): Array[Long] = {
+      val a = new Array[Long](1024)
+      texts.foreach(t => Dsir.tokenize(t).foreach(tok => a(Dsir.bucketOf(tok, 1024)) += 1))
+      a
+    }
+    val dsirRt = Dsir.logRatios(dsirCnt(dsirTarget), dsirCnt(dsirRaw))
+    sb.append(s""""dsir_corpus": {"target": [${dsirTarget.map(jstr).mkString(",")}], "raw": [${dsirRaw.map(jstr).mkString(",")}]},\n""")
+    val dsirWTexts = dsirRaw :+ "unseen tokens only zz9" :+ ""
+    sb.append("\"dsir_weight_bits\": [")
+    sb.append(dsirWTexts.map { t =>
+      var w = 0.0
+      Dsir.tokenize(t).foreach(tok => w += dsirRt(Dsir.bucketOf(tok, 1024)))
+      s"""{"text": ${jstr(t)}, "bits": ${dbits(w)}}"""
+    }.mkString(","))
+    sb.append("]\n")
 
     sb.append("}\n")
     Files.writeString(Paths.get(out), sb.result())

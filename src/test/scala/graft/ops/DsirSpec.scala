@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** DSIR importance resampling: bucket counts, log-ratio weights, selection. */
+class DsirSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val target = Seq(
+    (1L, "quantum flux capacitor quantum"),
+    (2L, "flux harmonics quantum field")
+  )
+  private val offDomain = Seq(
+    (10L, "invoice payment ledger overdue"),
+    (11L, "payment reminder ledger account")
+  )
+
+  test("tokenize splits on runs of control/space chars and nothing else") {
+    assert(Dsir.tokenize("  a\tbb\n\nccc ").toSeq == Seq("a", "bb", "ccc"))
+    assert(Dsir.tokenize("").isEmpty && Dsir.tokenize(null).isEmpty)
+    assert(Dsir.tokenize("a_b-c.d").toSeq == Seq("a_b-c.d"))
+  }
+
+  test("bucketOf is case-insensitive (ASCII) and stable") {
+    assert(Dsir.bucketOf("Quantum", 1024) == Dsir.bucketOf("quantum", 1024))
+    assert(Dsir.bucketOf("QUANTUM", 64) == Dsir.bucketOf("quantum", 64))
+    val b = Dsir.bucketOf("quantum", 1024)
+    assert(b >= 0 && b < 1024)
+  }
+
+  test("bucketCounts equals the local recomputation") {
+    val df = (target ++ offDomain).toDF("doc_id", "text")
+    val got = Dsir.bucketCounts(df, "text", 256)
+    val want = new Array[Long](256)
+    (target ++ offDomain).foreach { case (_, t) =>
+      Dsir.tokenize(t).foreach(tok => want(Dsir.bucketOf(tok, 256)) += 1)
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.sum == (target ++ offDomain).map(d => Dsir.tokenize(d._2).length).sum)
+  }
+
+  test("target-domain docs score positive, off-domain negative, blank zero") {
+    val raw = (target ++ offDomain :+ (20L, "")).toDF("doc_id", "text")
+    val scored = Dsir.withImportanceWeights(raw, target.toDF("doc_id", "text"), "text")
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(scored(1L) > 0.0 && scored(2L) > 0.0, s"target docs must score positive: $scored")
+    assert(scored(10L) < 0.0 && scored(11L) < 0.0, s"off-domain docs must score negative: $scored")
+    assert(scored(20L) == 0.0)
+  }
+
+  test("weights equal the scalar recomputation and are partitioning-independent") {
+    val raw0 = (target ++ offDomain).toDF("doc_id", "text")
+    val tgt = target.toDF("doc_id", "text")
+    val a = Dsir.withImportanceWeights(raw0, tgt, "text")
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    val b = Dsir.withImportanceWeights(raw0.repartition(7), tgt.repartition(3), "text")
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(a == b, "weights must not depend on partitioning")
+    // scalar recomputation
+    def cnt(ts: Seq[String]): Array[Long] = {
+      val arr = new Array[Long](Dsir.DefaultBuckets)
+      ts.foreach(t => Dsir.tokenize(t).foreach(tok =>
+        arr(Dsir.bucketOf(tok, Dsir.DefaultBuckets)) += 1))
+      arr
+    }
+    val rt = Dsir.logRatios(cnt(target.map(_._2)), cnt((target ++ offDomain).map(_._2)))
+    (target ++ offDomain).foreach { case (id, t) =>
+      var w = 0.0
+      Dsir.tokenize(t).foreach(tok => w += rt(Dsir.bucketOf(tok, Dsir.DefaultBuckets)))
+      assert(a(id) == w, s"doc $id: spark ${a(id)} vs scalar $w")
+    }
+  }
+
+  test("selectTopK and selectByThreshold pick the target-like slice") {
+    val raw = (target ++ offDomain).toDF("doc_id", "text")
+    val scored = Dsir.withImportanceWeights(raw, target.toDF("doc_id", "text"), "text")
+    assert(Dsir.selectTopK(scored, "doc_id", 2).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(Dsir.selectByThreshold(scored, 0.0).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+}

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb
 
-from graftcheck import dedup, fixtures, multimodal, pipeline, prepare, similarity, tagged
+from graftcheck import dedup, dsir, fixtures, multimodal, pipeline, prepare, similarity, tagged
 from graftcheck.dedup import round_half_up
 from graftcheck.langmodels import langid_model, lm_model
 
@@ -74,6 +74,25 @@ def q46(docs):
     cols = ["lang", "n_docs", "avg_ppl", "n_high_ppl"]
     return cols, [(l, g[0], round_half_up(g[1] / g[0], 3), g[2])
                   for l, g in groups.items()]
+
+
+def q58(docs):
+    """Mirror of SparkEntry q58: DSIR importance weights, target = src0."""
+    target = [t for _id, t, _l, src, _n in docs if src == "src0" and len(t) > 0]
+    ratios = dsir.log_ratios(
+        dsir.bucket_counts(target),
+        dsir.bucket_counts([d[1] for d in docs]))
+    groups = {}
+    for _id, text, _lang, src, _n in docs:
+        w, n_tok = dsir.weight(text, ratios)
+        g = groups.setdefault(src, [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += int(round(w * 1e6))
+        if w > 0.0:
+            g[2] += 1
+        g[3] += n_tok
+    cols = ["source", "n_docs", "sum_w_micro", "n_positive", "n_tokens"]
+    return cols, [(s, g[0], g[1], g[2], g[3]) for s, g in groups.items()]
 
 
 def _sigs(docs):
@@ -634,6 +653,7 @@ def main():
     builders = {
         "q17_langid_docs": lambda: q17(docs),
         "q46_perplexity": lambda: q46(docs),
+        "q58_dsir_selection": lambda: q58(docs),
         "q18_minhash_bands": lambda: q18(docs, sigs),
         "q19_neardup_candidates": lambda: q19(docs),
         "q19b_neardup_dedup": lambda: q19b(docs),

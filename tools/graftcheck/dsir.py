@@ -1,0 +1,68 @@
+"""Bit-exact port of graft.ops.Dsir (DSIR importance resampling,
+Xie et al. 2023): tokenizer, FNV bucket map, Laplace-smoothed log-ratio
+table, per-doc log importance weight summed in token order.
+
+Validated against the `dsir` section of goldens.json (selftest) before the
+q58 end-to-end recomputation is trusted.
+"""
+import math
+
+from .hashes import fnv1a64
+
+N_BUCKETS = 1024
+
+
+def tokenize(text):
+    """Maximal runs of chars with code point > 32 (Dsir.tokenize)."""
+    if text is None:
+        return []
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        while i < n and ord(text[i]) <= 32:
+            i += 1
+        start = i
+        while i < n and ord(text[i]) > 32:
+            i += 1
+        if i > start:
+            out.append(text[start:i])
+    return out
+
+
+def _ascii_lower(s):
+    return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s)
+
+
+def bucket_of(token, n_buckets=N_BUCKETS):
+    """floorMod(fnv1a64(asciiLower(token)), n_buckets) — Dsir.bucketOf."""
+    return fnv1a64(_ascii_lower(token)) % n_buckets  # Python % is floorMod
+
+
+def bucket_counts(texts, n_buckets=N_BUCKETS):
+    out = [0] * n_buckets
+    for t in texts:
+        for tok in tokenize(t):
+            out[bucket_of(tok, n_buckets)] += 1
+    return out
+
+
+def log_ratios(target, raw):
+    """ln((t[b]+1)/(tTot+B)) - ln((r[b]+1)/(rTot+B)) — Dsir.logRatios.
+
+    Same expression shapes as the Scala: the totals are accumulated as
+    integers then widened, each term is one math.log of one double divide.
+    """
+    b = len(target)
+    t_tot = float(sum(target)) + b
+    r_tot = float(sum(raw)) + b
+    return [math.log((target[i] + 1.0) / t_tot) - math.log((raw[i] + 1.0) / r_tot)
+            for i in range(b)]
+
+
+def weight(text, ratios, n_buckets=N_BUCKETS):
+    """Per-doc log importance weight, token-order sum (Dsir UDF)."""
+    w = 0.0
+    toks = tokenize(text)
+    for tok in toks:
+        w += ratios[bucket_of(tok, n_buckets)]
+    return w, len(toks)

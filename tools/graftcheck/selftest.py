@@ -146,6 +146,21 @@ def main():
         assert classifier.digest(w) == ct["digest"], "retrained weight digest"
         checks += 3
 
+    if "dsir_buckets" in g:  # graft.ops.Dsir port
+        from graftcheck import classifier, dsir
+
+        for tok, b in g["dsir_buckets"].items():
+            assert dsir.bucket_of(tok) == b, f"dsir bucket for {tok!r}"
+            checks += 1
+        ratios = dsir.log_ratios(
+            dsir.bucket_counts(g["dsir_corpus"]["target"]),
+            dsir.bucket_counts(g["dsir_corpus"]["raw"]))
+        for case in g["dsir_weight_bits"]:
+            w, _n = dsir.weight(case["text"], ratios)
+            assert classifier.dbits(w) == case["bits"], \
+                f"dsir weight bits for {case['text']!r}"
+            checks += 1
+
     print(f"graftcheck selftest: {checks} golden checks, all bit-exact")
 
 
