@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures
-import graft.ops.{AsOf, Decontam, Dedup, Dsir, Mixing, Multimodal, Packing, Sessionize, Similarity, TextOps, Toxicity}
+import graft.ops.{AsOf, Bpe, Decontam, Dedup, Dsir, Mixing, Multimodal, Packing, Sessionize, Similarity, TextOps, Toxicity}
 import graft.pipeline.QualityFilter
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -281,6 +281,15 @@ object SparkEntry {
           sum(expr("cast(rint(dsir_weight * 1e6) as bigint)")).as("sum_w_micro"),
           sum(when(col("dsir_weight") > 0.0, 1L).otherwise(0L)).as("n_positive"),
           sum(col("dsir_tokens").cast("long")).as("n_tokens"))
+    }),
+
+    // distributed BPE merge training (Sennrich et al. 2016): one
+    // corpus-scale word-count shuffle, then 20 merge rounds over the
+    // persisted vocab only (top pair by count desc / pair asc — a total
+    // order, so the table is parallelism-independent). All-integer →
+    // the Python crosscheck retrains from scratch to the identical table.
+    "q59_bpe_merges" -> ((s, dir) => {
+      Bpe.mergesDF(s, Bpe.train(t(s, dir, "documents"), "text", numMerges = 20))
     }),
 
     "q16_fingerprints" -> ((s, dir) => {

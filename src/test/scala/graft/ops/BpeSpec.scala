@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** BPE merge training: hand-computed merges, determinism, encode. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("symbols and applyMerge follow the paper semantics") {
+    assert(Bpe.symbols("ab").toSeq == Seq("a", "b", "</w>"))
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("l", "o", "w", "</w>"), "l", "o").toSeq ==
+      Seq("lo", "w", "</w>"))
+  }
+
+  test("train learns the hand-computed merge sequence on the classic corpus") {
+    // Sennrich-style toy: "low" x5, "lowest" x2 (one doc per repetition).
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 4)
+    // pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, ... —
+    // tie at 7 broken by left asc: ("l","o") wins.
+    assert(m.merges(0).left == "l" && m.merges(0).right == "o" &&
+      m.merges(0).pairCount == 7L)
+    // round 2: (lo,w)=7 is now the unique max
+    assert(m.merges(1).left == "lo" && m.merges(1).right == "w" &&
+      m.merges(1).pairCount == 7L)
+    // round 3: (low,</w>)=5
+    assert(m.merges(2).left == "low" && m.merges(2).right == "</w>" &&
+      m.merges(2).pairCount == 5L)
+  }
+
+  test("merge table is identical at any parallelism") {
+    val texts = Seq("the cat sat on the mat", "the cat ate the rat",
+      "a mat and a rat", "cats sat")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val a = Bpe.train(docs.toDF("doc_id", "text"), "text", 10).merges
+    val b = Bpe.train(docs.toDF("doc_id", "text").repartition(13), "text", 10).merges
+    assert(a == b)
+    assert(a.length == 10)
+  }
+
+  test("train stops early when no pair reaches minPairCount") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 50, minPairCount = 2L)
+    assert(m.merges.isEmpty)
+  }
+
+  test("encodeWord applies merges best-rank-first and round-trips the word") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 3)
+    assert(Bpe.encodeWord("low", m).toSeq == Seq("low</w>").toSeq ||
+      Bpe.encodeWord("low", m).toSeq == Seq("low", "</w>").toSeq)
+    // unseen word: falls back to finer units, concatenation reconstructs it
+    val enc = Bpe.encodeWord("lowly", m)
+    assert(enc.mkString("").replace("</w>", "") == "lowly")
+  }
+
+  test("encodeUdf tokenizes a text column row-locally") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 3)
+    val out = Seq((1L, "low lowest")).toDF("doc_id", "text")
+      .select(Bpe.encodeUdf(m)(col("text")).as("toks"))
+      .head().getAs[scala.collection.Seq[String]]("toks")
+    assert(out.mkString("").replace("</w>", "") == "lowlowest")
+  }
+}

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb
 
-from graftcheck import dedup, dsir, fixtures, multimodal, pipeline, prepare, similarity, tagged
+from graftcheck import bpe, dedup, dsir, fixtures, multimodal, pipeline, prepare, similarity, tagged
 from graftcheck.dedup import round_half_up
 from graftcheck.langmodels import langid_model, lm_model
 
@@ -93,6 +93,12 @@ def q58(docs):
         g[3] += n_tok
     cols = ["source", "n_docs", "sum_w_micro", "n_positive", "n_tokens"]
     return cols, [(s, g[0], g[1], g[2], g[3]) for s, g in groups.items()]
+
+
+def q59(docs):
+    """Mirror of SparkEntry q59: BPE merge table retrained from scratch."""
+    cols = ["rank", "left", "right", "pair_count"]
+    return cols, bpe.train([d[1] for d in docs], 20)
 
 
 def _sigs(docs):
@@ -654,6 +660,7 @@ def main():
         "q17_langid_docs": lambda: q17(docs),
         "q46_perplexity": lambda: q46(docs),
         "q58_dsir_selection": lambda: q58(docs),
+        "q59_bpe_merges": lambda: q59(docs),
         "q18_minhash_bands": lambda: q18(docs, sigs),
         "q19_neardup_candidates": lambda: q19(docs),
         "q19b_neardup_dedup": lambda: q19b(docs),

@@ -1,0 +1,63 @@
+"""Bit-exact port of graft.ops.Bpe (BPE merge training, Sennrich et al.
+2016): word counts, pair counting, deterministic (count desc, left asc,
+right asc) winner selection, left-to-right merge application.
+
+All-integer arithmetic — the q59 crosscheck retrains from scratch and must
+produce the identical merge table.
+"""
+from .dsir import tokenize
+
+END = "</w>"
+
+
+def word_counts(texts):
+    wc = {}
+    for t in texts:
+        for w in tokenize(t):
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def apply_merge(syms, left, right):
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train(texts, num_merges, min_pair_count=1):
+    vocab = [(list(w) + [END], c) for w, c in word_counts(texts).items()]
+    merges = []
+    for rank in range(num_merges):
+        pc = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + cnt
+        cands = [(n, l, r) for (l, r), n in pc.items() if n >= min_pair_count]
+        if not cands:
+            break
+        n, l, r = min(cands, key=lambda x: (-x[0], x[1], x[2]))
+        merges.append((rank, l, r, n))
+        vocab = [(apply_merge(s, l, r), c) for s, c in vocab]
+    return merges
+
+
+def encode_word(word, rank_of):
+    syms = list(word) + [END]
+    while len(syms) >= 2:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            rk = rank_of.get((syms[i], syms[i + 1]))
+            if rk is not None and (best is None or rk < best):
+                best, bi = rk, i
+        if bi < 0:
+            break
+        syms = apply_merge(syms, syms[bi], syms[bi + 1])
+    return syms
