@@ -307,6 +307,59 @@ object NewOpsScaleBench {
       s""""plantedCarriers":$nPlantedPassages,"dupFingerprints":${r.getLong(0)},"crossDocGroups":${r.getLong(1)},"widestGroupDocs":${r.getLong(2)}"""
     }
 
+    // ------------------------------------------------------------------
+    // Toxicity scrub: one codegen regex pass over the 1M docs. The deny
+    // terms are real corpus vocab, so flagged counts are non-trivial; an
+    // independent rlike formulation recounts the flag set (plan-level
+    // independence — regexp_count vs RLIKE are different expressions).
+    // ------------------------------------------------------------------
+    val denyTerms = Seq("w42", "w999", "spam")
+    measure("toxicity_scrub", nDocs) {
+      val r = graft.ops.Toxicity.withToxicitySignals(docs, "text", denyTerms)
+        .agg(sum(when(col("tox_hits") > 0, 1L).otherwise(0L)).as("flagged"),
+          sum(col("tox_hits")).as("hits"),
+          sum(length(col("tox_scrubbed"))).as("chars")).head()
+      val rlikeFlagged = docs.filter(
+        col("text").rlike(graft.scrub.Scrubber.denyPatternString(denyTerms))).count()
+      s""""flagged":${r.getLong(0)},"hits":${r.getLong(1)},"rlikeAgrees":${r.getLong(0) == rlikeFlagged}"""
+    }
+
+    // ------------------------------------------------------------------
+    // DSIR importance resampling: target = the planted leak docs (they
+    // carry 10 benchmark-vocab tokens nothing else has), raw = all docs.
+    // Selecting top-|planted| by weight must recover the planted set —
+    // recall is the at-size correctness check. nBuckets is the knob that
+    // must scale with VOCABULARY size (like 2^planes with N in sign-LSH):
+    // at B=1024 over a 10k-word vocab every bucket blends ~10 words, the
+    // target-exclusive tokens share buckets with corpus-wide ones and the
+    // signal dilutes (measured recall 0.06); at B=65536 buckets are
+    // near-pure and the planted set separates.
+    // ------------------------------------------------------------------
+    for (nb <- Seq(1024, 65536)) {
+      measure(s"dsir_score_select_b$nb", nDocs) {
+        val targetDocs = docs.filter(col("doc_id") % 101 === 0)
+        val scored = graft.ops.Dsir.withImportanceWeights(docs, targetDocs, "text",
+          nBuckets = nb)
+        val selected = graft.ops.Dsir.selectTopK(scored, "doc_id", nPlantedLeaks.toInt)
+          .select("doc_id")
+        val hit = selected.filter(col("doc_id") % 101 === 0).count()
+        s""""nBuckets":$nb,"planted":$nPlantedLeaks,"selectedPlanted":$hit,"recall":${hit.toDouble / nPlantedLeaks}"""
+      }
+    }
+
+    // ------------------------------------------------------------------
+    // BPE merge training: ONE corpus-scale word-count shuffle + 30
+    // vocab-bounded merge rounds. The corpus vocabulary is wNNNN/bNNNN
+    // words, so early merges must reconstruct the 'w'+digit shape —
+    // firstMerge is the sanity probe; parallelism-independence is
+    // spec-pinned at small size.
+    // ------------------------------------------------------------------
+    measure("bpe_train30", nDocs) {
+      val m = graft.ops.Bpe.train(docs, "text", numMerges = 30)
+      val f = m.merges.head
+      s""""merges":${m.merges.length},"firstMerge":"${f.left}+${f.right}","firstCount":${f.pairCount}"""
+    }
+
     spark.stop()
   }
 }
