@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
+  * aggregate — the mergeable-sketch answer to `count(DISTINCT col)` over a
+  * 100 TB corpus.
+  *
+  * `count(DISTINCT text)` shuffles EVERY distinct value to the reducers:
+  * at corpus scale that is a shuffle of the corpus itself. This aggregate
+  * keeps only the k numerically-smallest 64-bit hashes of the values seen
+  * (hash = first 8 bytes of md5, unsigned order), so the partial-aggregate
+  * state per group is a bounded k-long array that map-side combines like
+  * any other partial agg — shuffle cost is ≤ k·8 bytes per (group ×
+  * partition), independent of corpus size. Merging two sketches is a
+  * k-bounded set union, so the result is a pure function of the VALUE SET:
+  * identical at any parallelism, any partitioning, any merge tree.
+  *
+  * The returned value is the sketch itself (`array<bigint>`, ascending
+  * unsigned): the caller derives `sketch_size` (= exact distinct count
+  * while < k) and the kth-min hash, both SQL-expressible — DuckDB computes
+  * the identical array from `substr(md5(x),1,16)` + a row_number window, so
+  * the sketch content is ORACLE-checked bitwise (q60), not just estimated.
+  * The standard KMV estimator `(k-1) / normalized_kth_min` (Bar-Yossef et
+  * al. 2002) is exposed as [[KmvSketch.estimateDistinct]] and pinned by
+  * spec against known cardinalities.
+  *
+  * Why md5 and not a cheaper hash: the q60 oracle needs a hash both
+  * engines can compute bit-identically, and md5 is the only 64-bit-plus
+  * digest in DuckDB's and Spark's shared SQL surface. The digest is
+  * computed on the raw UTF-8 bytes with a thread-local MessageDigest — no
+  * String allocation on the update path.
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"kmv_sketch k must be > 0: $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a string argument, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](KmvSketchAgg.UnsignedOrder)
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) KmvSketchAgg.add(buf, KmvSketchAgg.hash64(v.asInstanceOf[UTF8String]), k)
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvSketchAgg.add(buf, it.next(), k)
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
+    copy(child = newChild)
+}
+
+object KmvSketchAgg {
+
+  val UnsignedOrder: java.util.Comparator[java.lang.Long] =
+    new java.util.Comparator[java.lang.Long] {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    }
+
+  private val md5TL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5(utf8 bytes), big-endian — numerically equal to
+    * DuckDB's `('0x' || substr(md5(x), 1, 16))::UBIGINT` interpreted as a
+    * signed long.
+    */
+  def hash64(s: UTF8String): Long = {
+    val md = md5TL.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ByteBuffer.wrap(d).getLong
+  }
+
+  /** Insert with k-bound eviction: the set keeps the k unsigned-smallest. */
+  def add(buf: java.util.TreeSet[java.lang.Long], h: Long, k: Int): Unit = {
+    if (buf.size() < k) { buf.add(h); () }
+    else if (UnsignedOrder.compare(h, buf.last()) < 0 && buf.add(h)) {
+      buf.pollLast(); ()
+    }
+  }
+}
+
+object KmvSketch {
+
+  /** The aggregate as a Column: `groupBy(...).agg(kmv(col, k))`. */
+  def kmv(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Bar-Yossef (k-1)/R estimator over a sketch column produced by [[kmv]]:
+    * exact (= sketch size) while the group has < k distinct values,
+    * otherwise (k-1) · 2^64 / kth_min_unsigned. Pure column arithmetic —
+    * the unsigned view of the signed long adds 2^64 back for negative
+    * values (double rounding there is irrelevant at estimator precision).
+    */
+  def estimateDistinct(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val kth = element_at(sketch, size(sketch))
+    val kthU = when(kth < 0, kth.cast("double") + lit(math.pow(2.0, 64)))
+      .otherwise(kth.cast("double"))
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 64)) / kthU)
+  }
+}

@@ -82,4 +82,54 @@ object Mixing {
       .filter(hashDraw(col(idCol)) < threshold)
       .drop("__total_tokens")
   }
+
+  /** Temperature-scaled source mixing (the mT5/XLM-R multilingual recipe):
+    * source s with n_s rows gets sampling weight w_s = n_s^(1/tau) / Σ_t
+    * n_t^(1/tau), and is downsampled to an expected `totalBudget · w_s`
+    * rows (capped at keeping everything). tau = 1 reproduces proportional
+    * sampling; tau → ∞ flattens toward uniform-per-source — the knob that
+    * stops a dominant source from drowning low-resource ones.
+    *
+    * All rates are derived INSIDE the plan: one partial-agg count per
+    * source (tiny table), weights and rates as column arithmetic on it,
+    * broadcast back, then the same deterministic hash-threshold draw as
+    * [[weightedSample]]. Scale shape: two corpus passes, a broadcast of
+    * |sources| rows, zero corpus-keyed shuffles.
+    *
+    * Cross-engine float discipline (the q61 oracle is bitwise): the
+    * exponentiation uses `sqrt` when 1/tau == 0.5 (IEEE-correctly-rounded
+    * in every engine, unlike `pow`), the weight normalisation sums
+    * DECIMAL(38,12)-rounded weights (exact, order-independent — a plain
+    * double sum would depend on engine visit order), and the final rate is
+    * fixed-parenthesization double arithmetic.
+    */
+  def temperatureRates(df: DataFrame, sourceCol: String, tau: Double,
+      totalBudget: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0: $tau")
+    val inv = 1.0 / tau
+    val nD = col("__n").cast("double")
+    val w = (if (inv == 0.5) sqrt(nD) else pow(nD, inv))
+      .cast("decimal(38,12)")
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", w)
+      .withColumn("__rate",
+        least(lit(1.0),
+          lit(totalBudget.toDouble) * col("__w").cast("double") /
+            sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()).cast("double") / nD))
+  }
+
+  /** The sampling form of [[temperatureRates]]: keep each row with its
+    * source's temperature-derived rate via the hash-threshold draw.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+      tau: Double, totalBudget: Long): DataFrame = {
+    val rates = temperatureRates(df, sourceCol, tau, totalBudget)
+    val threshold = when(col("__rate") >= 1.0, lit("zzzz"))
+      .otherwise(lower(lpad(hex(floor(col("__rate") * 65536.0)), 4, "0")))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashDraw(col(idCol)) < threshold)
+      .drop("__n", "__w", "__rate")
+  }
 }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** KMV sketch aggregate: content pinned against a brute-force reference,
+  * partition/merge-path independence, estimator accuracy, null handling.
+  */
+class KmvSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def refHash(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ByteBuffer.wrap(d).getLong
+  }
+
+  /** Brute-force reference: k unsigned-smallest md5-prefix hashes of the
+    * distinct values, ascending unsigned.
+    */
+  private def refSketch(values: Seq[String], k: Int): Seq[Long] =
+    values.distinct.map(refHash)
+      .sorted(Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0))
+      .take(k)
+
+  test("sketch content equals the brute-force k-min over distinct values") {
+    val vals = (0 until 500).map(i => s"doc-${i % 173}") // dups by construction
+    val got = vals.toDF("v").agg(KmvSketch.kmv(col("v"), 64)).as[Seq[Long]].head()
+    assert(got == refSketch(vals, 64))
+  }
+
+  test("sketch is exact (size = distinct count) below k") {
+    val vals = (0 until 40).map(i => s"x$i") ++ (0 until 40).map(i => s"x$i")
+    val got = vals.toDF("v").agg(KmvSketch.kmv(col("v"), 64)).as[Seq[Long]].head()
+    assert(got.size == 40)
+    assert(got == refSketch(vals, 64))
+  }
+
+  test("partition-count independence: identical sketch at 1 and 13 partitions") {
+    val df = spark.range(10000).select(concat(lit("row-"), (col("id") % 3000)).as("v"))
+    val a = df.repartition(1).agg(KmvSketch.kmv(col("v"), 128)).as[Seq[Long]].head()
+    val b = df.repartition(13).agg(KmvSketch.kmv(col("v"), 128)).as[Seq[Long]].head()
+    assert(a == b)
+    assert(a.size == 128)
+  }
+
+  test("grouped sketches: each group pinned to its own brute-force reference") {
+    val rows = (0 until 600).map(i => (s"g${i % 3}", s"v-${i % 200}"))
+    val got = rows.toDF("g", "v").groupBy("g")
+      .agg(KmvSketch.kmv(col("v"), 32).as("s"))
+      .as[(String, Seq[Long])].collect().toMap
+    (0 until 3).foreach { g =>
+      val vals = rows.filter(_._1 == s"g$g").map(_._2)
+      assert(got(s"g$g") == refSketch(vals, 32), s"group g$g")
+    }
+  }
+
+  test("nulls are skipped; empty group yields an empty sketch") {
+    val got = Seq(Option("a"), None, Option("b"), None).toDF("v")
+      .agg(KmvSketch.kmv(col("v"), 8)).as[Seq[Long]].head()
+    assert(got == refSketch(Seq("a", "b"), 8))
+    val empty = Seq.empty[String].toDF("v")
+      .agg(KmvSketch.kmv(col("v"), 8)).as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("estimator: within 15% at 10k distinct with k=256, exact below k") {
+    val df = spark.range(10000).select(concat(lit("u-"), col("id")).as("v"))
+    val est = df.agg(KmvSketch.estimateDistinct(KmvSketch.kmv(col("v"), 256), 256))
+      .as[Double].head()
+    assert(math.abs(est / 10000.0 - 1.0) < 0.15, s"estimate $est")
+    val exact = df.limit(100)
+      .agg(KmvSketch.estimateDistinct(KmvSketch.kmv(col("v"), 256), 256))
+      .as[Double].head()
+    assert(exact == 100.0)
+  }
+}

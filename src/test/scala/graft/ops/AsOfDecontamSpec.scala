@@ -309,6 +309,37 @@ class AsOfDecontamSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("temperature mixing: tau=1 is proportional, high tau flattens toward uniform") {
+    // 4000 rows, 4:1 skew between two sources
+    val docs = (1L to 4000L).map(i => (i, if (i <= 3200) "big" else "small"))
+      .toDF("doc_id", "source")
+    def keptBySource(tau: Double): Map[String, Long] =
+      Mixing.temperatureSample(docs, "doc_id", "source", tau, totalBudget = 1000L)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prop = keptBySource(1.0)
+    // tau=1: expected 800 / 200 (4:1 preserved)
+    assert(math.abs(prop("big").toDouble / prop("small") - 4.0) < 1.0, s"tau=1: $prop")
+    val flat = keptBySource(100.0)
+    // tau→∞: weights ≈ equal → expected 500 / 500
+    assert(math.abs(flat("big").toDouble / flat("small") - 1.0) < 0.3, s"tau=100: $flat")
+    // total kept concentrates near the budget in both regimes
+    assert(math.abs(prop.values.sum - 1000L) < 150, s"budget at tau=1: $prop")
+    assert(math.abs(flat.values.sum - 1000L) < 150, s"budget at tau=100: $flat")
+  }
+
+  test("temperature mixing keep set is identical at any partitioning; rates cap at 1") {
+    val docs = (1L to 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val a = Mixing.temperatureSample(docs.repartition(1), "doc_id", "source", 2.0, 300L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Mixing.temperatureSample(docs.repartition(16), "doc_id", "source", 2.0, 300L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // budget >= corpus: every rate caps at 1.0 → everything kept
+    val all = Mixing.temperatureSample(docs, "doc_id", "source", 2.0, 10000L).count()
+    assert(all == 600L)
+  }
+
   // ------------------------------------------------------------------
   // Sessionization
   // ------------------------------------------------------------------
