@@ -292,6 +292,19 @@ object SparkEntry {
       Bpe.mergesDF(s, Bpe.train(t(s, dir, "documents"), "text", numMerges = 20))
     }),
 
+    // the encode half of the tokenizer lifecycle: train 20 merges, apply
+    // them back to the corpus, report per-lang compression (rows-only —
+    // recomputed from scratch by the Python crosscheck)
+    "q62_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnts = Bpe.encodeCountsUdf(Bpe.train(docs, "text", numMerges = 20))
+      docs.withColumn("c", cnts(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c._1")).as("n_raw_symbols"),
+          sum(col("c._2")).as("n_subword_tokens"))
+    }),
+
     // KMV distinct-count sketch (custom TypedImperativeAggregate): the
     // sketch CONTENT is oracle-checked — DuckDB recomputes the k-min md5
     // prefixes exactly, so this pins the whole bounded-state merge path,

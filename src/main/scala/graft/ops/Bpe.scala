@@ -160,4 +160,21 @@ object Bpe {
     udf { (text: String) =>
       Dsir.tokenize(text).flatMap(w => encodeWord(w, m))
     }
+
+  /** Per-row `(raw_symbols, subword_tokens)` under a learned model — the
+    * tokenizer's compression measurement (chars+word-ends vs emitted
+    * subwords), one row-local pass with a per-row word-level memo (corpus
+    * words repeat heavily, so each distinct word in a doc is encoded once).
+    */
+  def encodeCountsUdf(m: Model): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      var raw = 0L
+      var enc = 0L
+      Dsir.tokenize(text).foreach { w =>
+        raw += w.length + 1
+        enc += memo.getOrElseUpdate(w, encodeWord(w, m).length)
+      }
+      (raw, enc)
+    }
 }

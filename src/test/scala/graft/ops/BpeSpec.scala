@@ -71,4 +71,22 @@ class BpeSpec extends AnyFunSuite {
       .head().getAs[scala.collection.Seq[String]]("toks")
     assert(out.mkString("").replace("</w>", "") == "lowlowest")
   }
+
+  test("encodeCountsUdf equals size(encodeUdf) and the raw symbol count per row") {
+    val corpus = Seq("low lower lowest", "new newer newest low", "wider low newer")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    val rows = corpus.select(
+        Bpe.encodeCountsUdf(m)(col("text")).as("c"),
+        size(Bpe.encodeUdf(m)(col("text"))).cast("long").as("encVia"),
+        col("text"))
+      .collect()
+    rows.foreach { r =>
+      val (raw, enc) = (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1))
+      assert(enc == r.getLong(1), s"enc count mismatch on '${r.getString(2)}'")
+      val expectedRaw = Dsir.tokenize(r.getString(2)).map(_.length + 1L).sum
+      assert(raw == expectedRaw, s"raw count mismatch on '${r.getString(2)}'")
+      assert(enc <= raw) // merges only ever shrink
+    }
+  }
 }

@@ -101,6 +101,28 @@ def q59(docs):
     return cols, bpe.train([d[1] for d in docs], 20)
 
 
+def q62(docs):
+    """Mirror of SparkEntry q62: retrain 20 merges, encode the corpus,
+    per-lang compression counts (all-integer, bit-exact)."""
+    merges = bpe.train([d[1] for d in docs], 20)
+    rank_of = {(l, r): rank for rank, l, r, _n in merges}
+    memo = {}
+    groups = {}
+    for _id, text, lang, _src, _n in docs:
+        raw = enc = 0
+        for w in dsir.tokenize(text):
+            raw += len(w) + 1
+            if w not in memo:
+                memo[w] = len(bpe.encode_word(w, rank_of))
+            enc += memo[w]
+        g = groups.setdefault(lang, [0, 0, 0])
+        g[0] += 1
+        g[1] += raw
+        g[2] += enc
+    cols = ["lang", "n_docs", "n_raw_symbols", "n_subword_tokens"]
+    return cols, [(l, g[0], g[1], g[2]) for l, g in groups.items()]
+
+
 def _sigs(docs):
     return {d[0]: dedup.minhash_signature(d[1]) for d in docs}
 
@@ -661,6 +683,7 @@ def main():
         "q46_perplexity": lambda: q46(docs),
         "q58_dsir_selection": lambda: q58(docs),
         "q59_bpe_merges": lambda: q59(docs),
+        "q62_bpe_encode": lambda: q62(docs),
         "q18_minhash_bands": lambda: q18(docs, sigs),
         "q19_neardup_candidates": lambda: q19(docs),
         "q19b_neardup_dedup": lambda: q19b(docs),
