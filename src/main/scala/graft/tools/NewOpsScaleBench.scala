@@ -360,6 +360,60 @@ object NewOpsScaleBench {
       s""""merges":${m.merges.length},"firstMerge":"${f.left}+${f.right}","firstCount":${f.pairCount}"""
     }
 
+    // ------------------------------------------------------------------
+    // BPE encode: the trained model applied back to the corpus — encode is
+    // row-local (model rides the closure), so shuffle is only the per-lang
+    // final agg. Compression < 1 certifies the merges actually fire at size.
+    // ------------------------------------------------------------------
+    measure("bpe_encode30", nDocs) {
+      val m = graft.ops.Bpe.train(docs, "text", numMerges = 30)
+      val cnts = graft.ops.Bpe.encodeCountsUdf(m)
+      val r = docs.withColumn("c", cnts(col("text")))
+        .agg(sum(col("c._1")).as("raw"), sum(col("c._2")).as("enc")).head()
+      f""""rawSymbols":${r.getLong(0)},"subwordTokens":${r.getLong(1)},"compression":${r.getLong(1).toDouble / r.getLong(0)}%.3f"""
+    }
+
+    // ------------------------------------------------------------------
+    // KMV sketch vs count(DISTINCT): 8 groups over the 1M docs (random
+    // text → ~every doc distinct). The exact form shuffles every distinct
+    // (group, text) pair — the corpus itself; the sketch shuffles k longs
+    // per group-partition. The exact run doubles as the ground truth the
+    // estimator is judged against (max relative error across groups).
+    // ------------------------------------------------------------------
+    val grouped = docs.select(pmod(xxhash64(col("doc_id")), lit(8)).as("g"), col("text"))
+    var exactByGroup = Map.empty[Long, Long]
+    measure("distinct_exact", nDocs) {
+      exactByGroup = grouped.groupBy(col("g"))
+        .agg(countDistinct(col("text")).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      s""""groups":${exactByGroup.size},"totalDistinct":${exactByGroup.values.sum}"""
+    }
+    measure("distinct_kmv_k1024", nDocs) {
+      import graft.functions.KmvSketch
+      val est = grouped.groupBy(col("g"))
+        .agg(KmvSketch.estimateDistinct(
+          KmvSketch.kmv(col("text"), 1024), 1024).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val maxRelErr = est.map { case (g, e) =>
+        math.abs(e / exactByGroup(g) - 1.0) }.max
+      f""""groups":${est.size},"maxRelErr":$maxRelErr%.4f,"withinTenPct":${maxRelErr < 0.10}"""
+    }
+
+    // ------------------------------------------------------------------
+    // Temperature mixing: rates from one tiny agg + broadcast, then a
+    // codegen filter — per-source kept counts must land near the budget
+    // split (relative error ~1/sqrt(kept per source)).
+    // ------------------------------------------------------------------
+    measure("temperature_mix", nEvents) {
+      val kept = graft.ops.Mixing.temperatureSample(
+        packDocs, "doc_id", "source", tau = 2.0, totalBudget = nEvents / 10)
+        .groupBy(col("source")).count().collect()
+      val total = kept.map(_.getLong(1)).sum
+      val expectedPer = nEvents / 40.0 // 4 equal sources, budget nEvents/10
+      val maxRelErr = kept.map(r => math.abs(r.getLong(1) / expectedPer - 1.0)).max
+      f""""kept":$total,"budget":${nEvents / 10},"maxSourceRelErr":$maxRelErr%.4f"""
+    }
+
     spark.stop()
   }
 }

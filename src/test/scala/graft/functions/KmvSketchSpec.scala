@@ -70,6 +70,22 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("plan shape: partial aggregation map-side, ONE exchange carrying k-bounded state") {
+    val df = spark.range(10000)
+      .select((col("id") % 4).as("g"), concat(lit("v"), col("id")).as("v"))
+      .groupBy("g").agg(KmvSketch.kmv(col("v"), 64).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate: a partial
+    // instance before the exchange (map-side combine — the whole point of
+    // the bounded sketch) and a merge instance after; exactly one shuffle
+    val nAgg = "ObjectHashAggregate".r.findAllIn(plan).length
+    val nExchange = "Exchange".r.findAllIn(plan).length
+    assert(nAgg == 2, s"expected partial+final ObjectHashAggregate, got $nAgg in:\n$plan")
+    assert(nExchange == 1, s"expected exactly one Exchange, got $nExchange in:\n$plan")
+    assert(plan.contains("partial_kmv_sketch") || plan.contains("kmv_sketch"),
+      s"aggregate missing from plan:\n$plan")
+  }
+
   test("estimator: within 15% at 10k distinct with k=256, exact below k") {
     val df = spark.range(10000).select(concat(lit("u-"), col("id")).as("v"))
     val est = df.agg(KmvSketch.estimateDistinct(KmvSketch.kmv(col("v"), 256), 256))
