@@ -325,6 +325,24 @@ object SparkEntry {
           col("n_exact_distinct"))
     }),
 
+    // sketch-of-sketches: per-source KMV sketches unioned into the global
+    // sketch WITHOUT re-scanning the data — the incremental-store query
+    // shape (persist a sketch per shard, union k longs per shard later).
+    // Oracle recomputes per-source k-mins, unions, re-truncates.
+    "q63_kmv_union" -> ((s, dir) => {
+      import graft.functions.KmvSketch
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(KmvSketch.kmv(col("text"), 32).as("sketch"))
+        .agg(KmvSketch.kmvUnion(col("sketch"), 32).as("u"),
+          count(lit(1)).as("n_sources"))
+        .select(
+          col("n_sources"),
+          size(col("u")).as("sketch_size"),
+          lpad(lower(hex(element_at(col("u"), size(col("u"))))), 16, "0")
+            .as("kth_min_hash"))
+    }),
+
     // temperature-scaled mixing over the skewed lang distribution (en is
     // ~44% of the corpus): rates derived in-plan, deterministic draw —
     // oracle-checked bitwise
@@ -1130,6 +1148,20 @@ object SparkEntry {
            max(hx) FILTER (WHERE rn <= 64) AS kth_min_hash,
            CAST(max(n_distinct) AS BIGINT) AS n_exact_distinct
          FROM r GROUP BY lang""",
+
+    "q63_kmv_union" ->
+      """WITH h AS (SELECT DISTINCT source, substr(md5(text), 1, 16) AS hx
+                    FROM documents),
+         persrc AS (SELECT source, hx,
+                      row_number() OVER (PARTITION BY source ORDER BY hx) AS rn
+                    FROM h),
+         unioned AS (SELECT DISTINCT hx FROM persrc WHERE rn <= 32),
+         g AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn FROM unioned)
+         SELECT (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+                  AS n_sources,
+           CAST(count(*) FILTER (WHERE rn <= 32) AS BIGINT) AS sketch_size,
+           max(hx) FILTER (WHERE rn <= 32) AS kth_min_hash
+         FROM g""",
 
     "q61_temperature_mix" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -112,6 +112,94 @@ case class KmvSketchAgg(
     copy(child = newChild)
 }
 
+/** Union of KMV sketches: aggregates `array<bigint>` sketch columns (as
+  * produced by [[KmvSketchAgg]]) into the sketch of the UNION of the
+  * underlying value sets — k-bounded, exact by the KMV closure property
+  * (every one of the union's k smallest hashes is within its own input's
+  * k smallest, so truncated inputs lose nothing).
+  *
+  * This is the incremental-store shape: persist one sketch per shard /
+  * snapshot / source at write time, answer "distinct across any subset"
+  * later by unioning k longs per shard — no re-scan of the data.
+  * Oracle-checked as q63 (DuckDB recomputes per-source k-mins, unions,
+  * re-truncates).
+  */
+case class KmvUnionAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(s"kmv_union k must be > 0: $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_union requires an array<bigint> sketch argument, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_union"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](KmvSketchAgg.UnsignedOrder)
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        KmvSketchAgg.add(buf, arr.getLong(i), k)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvSketchAgg.add(buf, it.next(), k)
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvUnionAgg =
+    copy(child = newChild)
+}
+
 object KmvSketchAgg {
 
   val UnsignedOrder: java.util.Comparator[java.lang.Long] =
@@ -149,6 +237,11 @@ object KmvSketch {
   def kmv(c: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Union of sketch columns: `agg(kmvUnion(col("sketch"), k))`. */
+  def kmvUnion(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvUnionAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 
   /** Bar-Yossef (k-1)/R estimator over a sketch column produced by [[kmv]]:
     * exact (= sketch size) while the group has < k distinct values,

@@ -86,6 +86,20 @@ class KmvSketchSpec extends AnyFunSuite {
       s"aggregate missing from plan:\n$plan")
   }
 
+  test("kmvUnion of per-group sketches equals the direct global sketch (closure)") {
+    val df = spark.range(5000)
+      .select((col("id") % 7).as("g"), concat(lit("v"), (col("id") % 900)).as("v"))
+    val direct = df.agg(KmvSketch.kmv(col("v"), 64)).as[Seq[Long]].head()
+    val viaUnion = df.groupBy("g").agg(KmvSketch.kmv(col("v"), 64).as("s"))
+      .agg(KmvSketch.kmvUnion(col("s"), 64)).as[Seq[Long]].head()
+    assert(viaUnion == direct)
+    // and at a different parallelism
+    val viaUnion13 = df.repartition(13).groupBy("g")
+      .agg(KmvSketch.kmv(col("v"), 64).as("s"))
+      .agg(KmvSketch.kmvUnion(col("s"), 64)).as[Seq[Long]].head()
+    assert(viaUnion13 == direct)
+  }
+
   test("estimator: within 15% at 10k distinct with k=256, exact below k") {
     val df = spark.range(10000).select(concat(lit("u-"), col("id")).as("v"))
     val est = df.agg(KmvSketch.estimateDistinct(KmvSketch.kmv(col("v"), 256), 256))
