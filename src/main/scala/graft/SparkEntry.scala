@@ -309,7 +309,10 @@ object SparkEntry {
     // sketch CONTENT is oracle-checked — DuckDB recomputes the k-min md5
     // prefixes exactly, so this pins the whole bounded-state merge path,
     // not just an estimate. count_distinct rides along as the ground truth
-    // the estimator is judged against in the spec.
+    // the estimator is judged against in the spec — and it, not the
+    // sketch, is what forces this plan's (lang, md5) expand-shuffle; the
+    // sketch alone plans as partial-agg -> ONE exchange of k longs
+    // (asserted in KmvSketchSpec, measured 112x less shuffle in BENCH.md).
     "q60_kmv_sketch" -> ((s, dir) => {
       import graft.functions.KmvSketch
       t(s, dir, "documents")

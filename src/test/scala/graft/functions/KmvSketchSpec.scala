@@ -100,6 +100,29 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(viaUnion13 == direct)
   }
 
+  test("streaming aggregation: the sketch accumulates across micro-batches via the state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = in.toDF().toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(KmvSketch.kmv(col("v"), 16).as("s"))
+      .writeStream.format("memory").queryName("kmvstream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(("a", "x1"), ("a", "x2"), ("b", "y1"))
+      q.processAllAvailable()
+      // second micro-batch: state-store buffer must deserialize + merge
+      in.addData(("a", "x3"), ("a", "x1"), ("b", "y2"))
+      q.processAllAvailable()
+      val got = spark.table("kmvstream")
+        .select(col("g"), col("s")).as[(String, Seq[Long])].collect().toMap
+      assert(got("a") == refSketch(Seq("x1", "x2", "x3"), 16))
+      assert(got("b") == refSketch(Seq("y1", "y2"), 16))
+    } finally q.stop()
+  }
+
   test("estimator: within 15% at 10k distinct with k=256, exact below k") {
     val df = spark.range(10000).select(concat(lit("u-"), col("id")).as("v"))
     val est = df.agg(KmvSketch.estimateDistinct(KmvSketch.kmv(col("v"), 256), 256))
