@@ -37,6 +37,11 @@ object Main {
       s"kept=${snap.metrics.map(_.filesKept).sum} " +
       s"scrubbed=${snap.metrics.map(_.filesScrubbed).sum} " +
       s"errors=${snap.metrics.map(_.errors).sum}")
+    val hitTotals = snap.metrics.flatMap(_.piiHits.toSeq)
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+      .toSeq.sortBy(-_._2)
+    println(s"lineage piiHitsByCategory: " +
+      hitTotals.map { case (c, n) => s"$c=$n" }.mkString(" "))
 
     val persisted = TableIO.results(TableIO.readCommitted(spark, root))
     QualityFilter.statistics(persisted).show(truncate = false)

@@ -27,13 +27,24 @@ import graft.pipeline.QualityFilter
   *    the reference's checkpoint-resume analogue (reference
   *    src/train.py:622-638, latest `checkpoint-*` by step);
   *  - lineage: each snapshot records its parent version and per-bucket
-  *    metrics (files scanned / kept / scrubbed / errors).
+  *    metrics (files scanned / kept / scrubbed / errors / PII hits by
+  *    category — the north rule's per-partition metric set verbatim),
+  *    accumulated during the write action itself.
   */
 object TableIO {
 
+  /** The closed per-row PII/toxicity category universe (scrub/Scrubber's
+    * span types) — per-bucket hit counts for these ride the snapshot
+    * lineage, completing the north rule's "per-partition metrics (files
+    * scanned, kept, scrubbed, PII hits by category)" verbatim.
+    */
+  val Categories: Vector[String] =
+    Vector("EMAIL", "IP_ADDRESS", "SECRET", "PHONE", "TOXICITY")
+
   final case class BucketMetrics(
       bucket: Int, filesScanned: Long, filesKept: Long,
-      filesScrubbed: Long, errors: Long)
+      filesScrubbed: Long, errors: Long,
+      piiHits: Map[String, Long] = Map.empty)
 
   final case class Snapshot(
       version: Int, parent: Int, committedBuckets: Set[Int],
@@ -47,7 +58,9 @@ object TableIO {
     */
   private final class BucketMetricsAcc(nBuckets: Int)
       extends org.apache.spark.util.AccumulatorV2[Array[Long], Array[Long]] {
-    private var data = new Array[Long](nBuckets * 4)
+    // 4 base counters + one hit counter per category, per bucket
+    private val W = 4 + Categories.length
+    private var data = new Array[Long](nBuckets * W)
     override def isZero: Boolean = data.forall(_ == 0L)
     override def copy(): BucketMetricsAcc = {
       val c = new BucketMetricsAcc(nBuckets); c.data = data.clone(); c
@@ -56,19 +69,28 @@ object TableIO {
     override def add(v: Array[Long]): Unit = {
       var i = 0; while (i < data.length) { data(i) += v(i); i += 1 }
     }
-    def addRow(bucket: Int, kept: Boolean, scrubbed: Boolean, error: Boolean): Unit = {
-      val base = bucket * 4
+    def addRow(bucket: Int, kept: Boolean, scrubbed: Boolean, error: Boolean,
+        piiTypes: scala.collection.Seq[String]): Unit = {
+      val base = bucket * W
       data(base) += 1
       if (kept) data(base + 1) += 1
       if (scrubbed) data(base + 2) += 1
       if (error) data(base + 3) += 1
+      if (piiTypes != null) piiTypes.foreach { t =>
+        val ci = Categories.indexOf(t)
+        if (ci >= 0) data(base + 4 + ci) += 1
+      }
     }
     override def merge(other: org.apache.spark.util.AccumulatorV2[Array[Long], Array[Long]]): Unit =
       add(other.value)
     override def value: Array[Long] = data
     def metricsFor(buckets: Seq[Int]): Seq[BucketMetrics] =
-      buckets.filter(b => data(b * 4) > 0).map { b =>
-        BucketMetrics(b, data(b * 4), data(b * 4 + 1), data(b * 4 + 2), data(b * 4 + 3))
+      buckets.filter(b => data(b * W) > 0).map { b =>
+        val base = b * W
+        val hits = Categories.zipWithIndex
+          .collect { case (c, i) if data(base + 4 + i) > 0 => c -> data(base + 4 + i) }
+          .toMap
+        BucketMetrics(b, data(base), data(base + 1), data(base + 2), data(base + 3), hits)
       }
   }
 
@@ -83,7 +105,12 @@ object TableIO {
   // ------------------------------------------------------------------
   private def render(s: Snapshot): String = {
     val buckets = s.metrics.sortBy(_.bucket).map { m =>
-      s"""{"bucket":${m.bucket},"filesScanned":${m.filesScanned},"filesKept":${m.filesKept},"filesScrubbed":${m.filesScrubbed},"errors":${m.errors}}"""
+      val hits =
+        if (m.piiHits.isEmpty) ""
+        else m.piiHits.toSeq.sortBy(_._1)
+          .map { case (c, n) => s""""$c":$n""" }
+          .mkString(""","piiHits":{""", ",", "}")
+      s"""{"bucket":${m.bucket},"filesScanned":${m.filesScanned},"filesKept":${m.filesKept},"filesScrubbed":${m.filesScrubbed},"errors":${m.errors}$hits}"""
     }.mkString("[", ",", "]")
     s"""{"version":${s.version},"parent":${s.parent},"committedBuckets":${s.committedBuckets.toSeq.sorted.mkString("[", ",", "]")},"metrics":$buckets}"""
   }
@@ -95,10 +122,14 @@ object TableIO {
     val committed = s""""committedBuckets":\\[([0-9,]*)\\]""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     val metricRe =
-      """\{"bucket":(\d+),"filesScanned":(\d+),"filesKept":(\d+),"filesScrubbed":(\d+),"errors":(\d+)\}""".r
+      """\{"bucket":(\d+),"filesScanned":(\d+),"filesKept":(\d+),"filesScrubbed":(\d+),"errors":(\d+)(?:,"piiHits":\{([^}]*)\})?\}""".r
+    val hitRe = """"([A-Z_]+)":(\d+)""".r
     val metrics = metricRe.findAllMatchIn(json).map { m =>
+      val hits = Option(m.group(6)).map { body =>
+        hitRe.findAllMatchIn(body).map(h => h.group(1) -> h.group(2).toLong).toMap
+      }.getOrElse(Map.empty[String, Long])
       BucketMetrics(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong)
+        m.group(4).toLong, m.group(5).toLong, hits)
     }.toSeq
     Snapshot(
       intField("version"), intField("parent"),
@@ -196,10 +227,12 @@ object TableIO {
     val iKeep = schema.fieldIndex("keep")
     val iPii = schema.fieldIndex("hasPii")
     val iErr = schema.fieldIndex("error")
+    val iTypes = schema.fieldIndex("piiTypes")
     val observed = results.mapPartitions { it =>
       it.map { row =>
         acc.addRow(row.getInt(iBucket), row.getBoolean(iKeep),
-          row.getBoolean(iPii), !row.isNullAt(iErr))
+          row.getBoolean(iPii), !row.isNullAt(iErr),
+          if (row.isNullAt(iTypes)) null else row.getSeq[String](iTypes))
         row
       }
     }(org.apache.spark.sql.Encoders.row(schema))
@@ -230,10 +263,18 @@ object TableIO {
     * compare with what a snapshot recorded. Costs a full read of the listed
     * buckets — run on demand, never inside the commit path.
     */
-  def auditMetrics(spark: SparkSession, root: String, buckets: Seq[Int]): Seq[BucketMetrics] =
-    spark.read.parquet(dataDir(root))
+  def auditMetrics(spark: SparkSession, root: String, buckets: Seq[Int]): Seq[BucketMetrics] = {
+    val df = spark.read.parquet(dataDir(root))
       .filter(col("bucket").isin(buckets: _*))
-      .groupBy("bucket")
+    val hitsByBucket = df
+      .select(col("bucket"), explode(col("piiTypes")).as("t"))
+      .groupBy("bucket", "t").agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) =>
+        b -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    df.groupBy("bucket")
       .agg(
         count(lit(1)).as("filesScanned"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("filesKept"),
@@ -241,8 +282,10 @@ object TableIO {
         sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"))
       .collect()
       .map(r => BucketMetrics(r.getInt(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+        r.getLong(3), r.getLong(4),
+        hitsByBucket.getOrElse(r.getInt(0), Map.empty)))
       .sortBy(_.bucket).toSeq
+  }
 
   /** Read the table as of the LAST committed snapshot: only committed
     * buckets are visible.

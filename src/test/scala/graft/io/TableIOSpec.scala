@@ -74,6 +74,26 @@ class TableIOSpec extends AnyFunSuite {
     assert(snap.metrics.map(_.filesKept).sum == kept)
   }
 
+  test("per-bucket PII hits by category ride the snapshot lineage and round-trip the manifest") {
+    val root = tmpRoot()
+    val input = Fixtures.generate(spark, 1200)
+    val snap = TableIO.runResumable(input, root, nBuckets = 8)
+    // fixture distribution plants EMAIL/IP_ADDRESS/SECRET/PHONE spans —
+    // the lineage totals must equal a direct recount over the table
+    val direct = TableIO.readCommitted(spark, root)
+      .select(explode(col("piiTypes")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromLineage = snap.metrics.flatMap(_.piiHits.toSeq)
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    assert(fromLineage == direct, s"lineage $fromLineage vs direct $direct")
+    assert(fromLineage.keySet.subsetOf(TableIO.Categories.toSet))
+    assert(fromLineage.nonEmpty)
+    // round-trip: the parsed manifest (not the in-memory snapshot) carries them
+    val reread = TableIO.snapshots(spark, root).last
+    assert(reread.metrics.sortBy(_.bucket) == snap.metrics.sortBy(_.bucket))
+  }
+
   test("single-pass commit metrics match an on-disk audit readback") {
     val root = tmpRoot()
     val input = Fixtures.generate(spark, 1000)
