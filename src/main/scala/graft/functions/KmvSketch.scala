@@ -9,10 +9,60 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared buffer plumbing for the KMV aggregates: the buffer is a TreeSet
+  * of the k unsigned-smallest 64-bit hashes seen; merge is a k-bounded set
+  * union; the result is the ascending-unsigned `array<bigint>` sketch.
+  * Only `update` (what a hash is extracted from) differs between the
+  * value-sketching and sketch-union forms.
+  */
+trait KmvAggBase extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  def k: Int
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](KmvSketchAgg.UnsignedOrder)
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvSketchAgg.add(buf, it.next(), k)
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+}
 
 /** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
   * aggregate — the mergeable-sketch answer to `count(DISTINCT col)` over a
@@ -48,8 +98,7 @@ case class KmvSketchAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-  with UnaryLike[Expression] {
+  extends KmvAggBase {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType if k > 0 => TypeCheckResult.TypeCheckSuccess
@@ -58,49 +107,12 @@ case class KmvSketchAgg(
       s"kmv_sketch requires a string argument, got $t")
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"
-
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long](KmvSketchAgg.UnsignedOrder)
 
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
       : java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) KmvSketchAgg.add(buf, KmvSketchAgg.hash64(v.asInstanceOf[UTF8String]), k)
-    buf
-  }
-
-  override def merge(buf: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) KmvSketchAgg.add(buf, it.next(), k)
-    buf
-  }
-
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val out = new Array[Long](buf.size())
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
-  }
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
-    bb.putInt(buf.size())
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
     buf
   }
 
@@ -129,8 +141,7 @@ case class KmvUnionAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-  with UnaryLike[Expression] {
+  extends KmvAggBase {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
@@ -139,56 +150,19 @@ case class KmvUnionAgg(
       s"kmv_union requires an array<bigint> sketch argument, got $t")
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "kmv_union"
-
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long](KmvSketchAgg.UnsignedOrder)
 
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
       : java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val arr = v.asInstanceOf[ArrayData]
       var i = 0
       while (i < arr.numElements()) {
         KmvSketchAgg.add(buf, arr.getLong(i), k)
         i += 1
       }
     }
-    buf
-  }
-
-  override def merge(buf: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) KmvSketchAgg.add(buf, it.next(), k)
-    buf
-  }
-
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val out = new Array[Long](buf.size())
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
-  }
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
-    bb.putInt(buf.size())
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
     buf
   }
 

@@ -110,14 +110,21 @@ object Mixing {
     val nD = col("__n").cast("double")
     val w = (if (inv == 0.5) sqrt(nD) else pow(nD, inv))
       .cast("decimal(38,12)")
-    df.groupBy(col(sourceCol))
+    val weighted = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", w)
+    // total weight as a broadcast 1-row frame, not a global window: the
+    // rate table is |sources| rows either way, but the window form plans a
+    // single-partition WindowExec (and warns); this is two tiny aggs + a
+    // broadcast nested loop over |sources| rows
+    val total = weighted.agg(sum(col("__w")).as("__W"))
+    // aliases disambiguate the self-join lineage (total derives from weighted)
+    weighted.alias("l").crossJoin(broadcast(total.alias("r")))
       .withColumn("__rate",
         least(lit(1.0),
-          lit(totalBudget.toDouble) * col("__w").cast("double") /
-            sum(col("__w")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy()).cast("double") / nD))
+          lit(totalBudget.toDouble) * col("l.__w").cast("double") /
+            col("r.__W").cast("double") / col("l.__n").cast("double")))
+      .drop("__W")
   }
 
   /** The sampling form of [[temperatureRates]]: keep each row with its
