@@ -49,11 +49,14 @@ object Toxicity {
     regexp_replace(text, lit(pattern(terms)), lit(Mask))
 
   /** Hits per 10k characters — the density signal used for thresholded
-    * drops (0.0 for empty text).
+    * drops (0.0 for empty AND null text: the `length > 0` gate is
+    * null-rejecting, so null rows land in the 0.0 branch instead of
+    * propagating null into downstream numeric filters).
     */
   def density(text: Column, terms: Seq[String]): Column =
-    when(length(text) === 0, lit(0.0))
-      .otherwise(hits(text, terms).cast("double") * 10000.0 / length(text))
+    when(length(text) > 0,
+      hits(text, terms).cast("double") * 10000.0 / length(text))
+      .otherwise(lit(0.0))
 
   /** Adds `tox_hits`, `tox_terms`, `tox_density`, `tox_scrubbed`. */
   def withToxicitySignals(df: DataFrame, textCol: String,

@@ -90,18 +90,29 @@ object Scrubber {
     */
   def denyPattern(terms: Seq[String]): Option[Pattern] = {
     if (terms.isEmpty) None
-    else {
-      terms.foreach { t =>
-        require(t.nonEmpty && t.forall(_.isLetterOrDigit) && t.forall(_ < 128),
-          s"deny-list terms must be ASCII [A-Za-z0-9]+: '$t'")
-      }
-      Some(Pattern.compile(denyPatternString(terms)))
-    }
+    else Some(Pattern.compile(denyPatternString(terms)))
   }
 
-  /** The raw pattern string (shared verbatim with the DuckDB oracle SQL). */
-  def denyPatternString(terms: Seq[String]): String =
+  /** The raw pattern string (shared verbatim with the DuckDB oracle SQL).
+    * Validates here — not only in [[denyPattern]] — so callers going
+    * straight to the string form cannot smuggle regex metacharacters into
+    * a pattern the two engines would read differently.
+    *
+    * Dialect caveat: java.util.regex `(?i)` without UNICODE_CASE folds
+    * ASCII only, while RE2 (DuckDB) applies Unicode simple folding (e.g.
+    * U+017F 'ſ'→'s', U+212A KELVIN→'k'). With the enforced ASCII-alnum
+    * term grammar a cross-engine mismatch therefore needs non-ASCII
+    * CORPUS text whose Unicode fold lands on a term — the oracle-bitwise
+    * guarantee (q57) covers ASCII corpus text; on Unicode corpora the two
+    * engines may disagree on such exotic fold-alias matches.
+    */
+  def denyPatternString(terms: Seq[String]): String = {
+    terms.foreach { t =>
+      require(t.nonEmpty && t.forall(_.isLetterOrDigit) && t.forall(_ < 128),
+        s"deny-list terms must be ASCII [A-Za-z0-9]+: '$t'")
+    }
     "(?i)\\b(?:" + terms.mkString("|") + ")\\b"
+  }
 
   private def matches(p: Pattern, text: String, cat: String, group: Int = 0): Vector[Span] = {
     val m: Matcher = p.matcher(text)

@@ -211,7 +211,23 @@ object GoldenDump {
       Dsir.tokenize(t).foreach(tok => w += dsirRt(Dsir.bucketOf(tok, 1024)))
       s"""{"text": ${jstr(t)}, "bits": ${dbits(w)}}"""
     }.mkString(","))
-    sb.append("]\n")
+    sb.append("],\n")
+
+    // --- BPE merge training (ops/Bpe.scala) -------------------------------
+    // word-count table with non-BMP words — pins per-CODE-POINT symbol
+    // splitting and the code-point tie-break order of the winner rule
+    // (UTF-16 order would disagree on the ￿-vs-astral words).
+    val bpeWords: Seq[(String, Long)] = Seq(
+      ("low", 5L), ("lowest", 2L), ("lower", 3L),
+      ("x￿y", 4L), ("x😀y", 4L),
+      ("￿😀", 3L), ("😀￿", 3L),
+      ("cafés", 2L))
+    val bpeModel = graft.ops.Bpe.trainLocal(bpeWords.toArray, numMerges = 25)
+    sb.append("\"bpe_merges\": {")
+    sb.append(s""""words": [${bpeWords.map { case (w, c) => s"[${jstr(w)},$c]" }.mkString(",")}],""")
+    sb.append(s""""merges": [${bpeModel.merges.map(m =>
+      s"[${m.rank},${jstr(m.left)},${jstr(m.right)},${m.pairCount}]").mkString(",")}]""")
+    sb.append("}\n")
 
     sb.append("}\n")
     Files.writeString(Paths.get(out), sb.result())

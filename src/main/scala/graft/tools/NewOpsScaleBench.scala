@@ -361,6 +361,25 @@ object NewOpsScaleBench {
     }
 
     // ------------------------------------------------------------------
+    // BPE at REAL vocab size: after the one corpus-scale word-count
+    // shuffle, the driver-side incremental merge loop must deliver ≥10³
+    // merges/s (the round-4 one-Spark-job-per-merge form paid ~100 ms of
+    // scheduling latency PER MERGE — hours at a 30k-merge tokenizer).
+    // mergeLoopSec times trainLocal alone, isolating loop throughput from
+    // the (measured separately above) corpus shuffle.
+    // ------------------------------------------------------------------
+    measure("bpe_train_merge_loop", nDocs) {
+      val words = graft.ops.Bpe.wordCounts(docs, "text").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val target = 20000
+      val t0 = System.nanoTime()
+      val m = graft.ops.Bpe.trainLocal(words, numMerges = target)
+      val loopSec = (System.nanoTime() - t0) / 1e9
+      val mps = (m.merges.length / loopSec).toLong
+      f""""vocabWords":${words.length},"merges":${m.merges.length},"mergeLoopSec":$loopSec%.2f,"mergesPerSec":$mps"""
+    }
+
+    // ------------------------------------------------------------------
     // BPE encode: the trained model applied back to the corpus — encode is
     // row-local (model rides the closure), so shuffle is only the per-lang
     // final agg. Compression < 1 certifies the merges actually fire at size.

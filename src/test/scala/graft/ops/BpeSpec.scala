@@ -18,6 +18,98 @@ class BpeSpec extends AnyFunSuite {
       Seq("lo", "w", "</w>"))
   }
 
+  test("symbols splits by code point — a non-BMP char is ONE symbol") {
+    // U+1F600 is a surrogate pair in UTF-16; per-char splitting would
+    // mangle it into two lone-surrogate symbols (and diverge from the
+    // Python crosscheck's per-code-point list(w))
+    assert(Bpe.symbols("a😀b").toSeq ==
+      Seq("a", "😀", "b", "</w>"))
+  }
+
+  test("cpCompare is code-point order (disagrees with UTF-16 order on non-BMP)") {
+    // U+FFFF < U+1F600 by code point, but String.compareTo says the
+    // opposite (the surrogate halves 0xD83D/0xDE00 compare below 0xFFFF)
+    assert(Bpe.cpCompare("￿", "😀") < 0)
+    assert("￿".compareTo("😀") > 0)
+    assert(Bpe.cpCompare("ab", "ab") == 0)
+    assert(Bpe.cpCompare("ab", "abc") < 0)
+    assert(Bpe.cpCompare("b", "ab") > 0)
+  }
+
+  /** Naive recount-per-round reference (the round-4 per-Spark-job loop's
+    * semantics, and the Python crosscheck's shape): full pair recount over
+    * the whole vocab each round, winner by (count desc, left asc, right
+    * asc) in code-point order. The incremental [[Bpe.trainLocal]] must be
+    * table-identical to this.
+    */
+  private def trainNaive(words: Seq[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[Bpe.Merge] = {
+    var vocab = words.map { case (w, c) => (Bpe.symbols(w), c) }
+    val merges = Seq.newBuilder[Bpe.Merge]
+    var rank = 0
+    var stop = false
+    while (rank < numMerges && !stop) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          pc.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + c)); i += 1
+        }
+      }
+      val cands = pc.filter(_._2 >= minPairCount)
+      if (cands.isEmpty) stop = true
+      else {
+        val ord = new Ordering[((String, String), Long)] {
+          def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+            val c = java.lang.Long.compare(y._2, x._2) // count desc
+            if (c != 0) c
+            else {
+              val a = Bpe.cpCompare(x._1._1, y._1._1)
+              if (a != 0) a else Bpe.cpCompare(x._1._2, y._1._2)
+            }
+          }
+        }
+        val ((l, r), n) = cands.min(ord)
+        merges += Bpe.Merge(rank, l, r, n)
+        vocab = vocab.map { case (s, c) => (Bpe.applyMerge(s, l, r), c) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("trainLocal == naive recount reference at 2000+ merges (incremental deltas exact)") {
+    // synthetic vocab large enough to sustain >2000 merges: composite words
+    // over a varied alphabet with Zipf-ish counts
+    val rng = new scala.util.Random(42)
+    val stems = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val words = (0 until 4000).map { i =>
+      val w = stems(rng.nextInt(stems.size)) + stems(rng.nextInt(stems.size)) +
+        (if (i % 3 == 0) i.toString else "")
+      (w + i.toString.reverse, (rng.nextInt(50) + 1).toLong)
+    }.distinct.toArray
+    val fast = Bpe.trainLocal(words, numMerges = 2200, minPairCount = 1L).merges
+    val naive = trainNaive(words.toSeq, numMerges = 2200, minPairCount = 1L)
+    assert(fast.length >= 2000, s"corpus sustained only ${fast.length} merges")
+    assert(fast == naive)
+  }
+
+  test("trainLocal matches naive on a non-BMP corpus (code-point tie-breaks)") {
+    // words mixing BMP boundary chars and astral code points force the
+    // (left asc, right asc) tie-break into the region where UTF-16 order
+    // and code-point order disagree
+    val words = Array(
+      ("￿😀x", 5L), ("😀￿x", 5L),
+      ("x￿y", 5L), ("x😀y", 5L), ("zz￿", 3L),
+      ("zz😀", 3L))
+    val fast = Bpe.trainLocal(words, numMerges = 30, minPairCount = 1L).merges
+    val naive = trainNaive(words.toSeq, numMerges = 30, minPairCount = 1L)
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
   test("train learns the hand-computed merge sequence on the classic corpus") {
     // Sennrich-style toy: "low" x5, "lowest" x2 (one doc per repetition).
     val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest"))
@@ -73,7 +165,8 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("encodeCountsUdf equals size(encodeUdf) and the raw symbol count per row") {
-    val corpus = Seq("low lower lowest", "new newer newest low", "wider low newer")
+    val corpus = Seq("low lower lowest", "new newer newest low", "wider low newer",
+        "low 😀😀 lower") // non-BMP: raw counts by CODE POINT, not UTF-16 unit
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val m = Bpe.train(corpus, "text", numMerges = 5)
     val rows = corpus.select(
@@ -84,7 +177,8 @@ class BpeSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (raw, enc) = (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1))
       assert(enc == r.getLong(1), s"enc count mismatch on '${r.getString(2)}'")
-      val expectedRaw = Dsir.tokenize(r.getString(2)).map(_.length + 1L).sum
+      val expectedRaw = Dsir.tokenize(r.getString(2))
+        .map(w => w.codePointCount(0, w.length) + 1L).sum
       assert(raw == expectedRaw, s"raw count mismatch on '${r.getString(2)}'")
       assert(enc <= raw) // merges only ever shrink
     }

@@ -53,10 +53,24 @@ class ToxicitySpec extends AnyFunSuite {
     assert(d(2L) == 0.0)
   }
 
-  test("deny-list terms are validated (ASCII alnum only)") {
+  test("density is 0.0 (not null) for NULL text") {
+    val df = Seq((1L, Option("frak here")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val d = Toxicity.withToxicitySignals(df, "text", terms)
+      .select("doc_id", "tox_density").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(d(1L).isDefined)
+    assert(d(2L).contains(0.0)) // null text must not poison numeric filters
+  }
+
+  test("deny-list terms are validated (ASCII alnum only) — on BOTH entry points") {
     intercept[IllegalArgumentException] { Toxicity.pattern(Seq("a b")) }
     intercept[IllegalArgumentException] { Toxicity.pattern(Seq("")) }
     intercept[IllegalArgumentException] { Toxicity.pattern(Seq("café")) }
+    // the raw string form must validate too: callers embedding it in SQL
+    // (the bench does) get the same guard, not a dialect-divergent regex
+    intercept[IllegalArgumentException] { Scrubber.denyPatternString(Seq("a|b")) }
+    intercept[IllegalArgumentException] { Scrubber.denyPatternString(Seq(".*")) }
   }
 
   // ------------------------------------------------------------------

@@ -161,6 +161,18 @@ def main():
                 f"dsir weight bits for {case['text']!r}"
             checks += 1
 
+    if "bpe_merges" in g:  # graft.ops.Bpe trainLocal (incl. non-BMP words)
+        from graftcheck import bpe
+
+        # reconstruct the word-count table as texts: one text per word
+        # occurrence — word_counts() then sees exactly the golden counts
+        texts = []
+        for w, c in g["bpe_merges"]["words"]:
+            texts.extend([w] * c)
+        got = [[r, l, rt, n] for r, l, rt, n in bpe.train(texts, 25)]
+        assert got == g["bpe_merges"]["merges"], "BPE merge table not identical"
+        checks += 1
+
     print(f"graftcheck selftest: {checks} golden checks, all bit-exact")
 
 
