@@ -315,26 +315,40 @@ object Dedup {
       broadcastBatch: Boolean = true): DataFrame = {
     val bc: DataFrame => DataFrame =
       if (broadcastBatch) org.apache.spark.sql.functions.broadcast else identity
-    val wWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val bW = lshBucketsFromSigs(batchSigs, idCol)
-      .withColumn("__wb", count(lit(1)).over(wWin))
-      .select(col("band"), col("bucket"), col(idCol).as("b"), col("__wb"))
+    val bBuckets = lshBucketsFromSigs(batchSigs, idCol)
+      .select(col("band"), col("bucket"), col(idCol).as("b"))
+    // widths via HASH AGGREGATION (one row per distinct bucket key), never
+    // a window: count().over(partitionBy(band,bucket)) has no map-side
+    // partial aggregation, so a degenerate hot bucket — the exact
+    // pathology the cap exists for — would concentrate its full membership
+    // on one sort task BEFORE the width filter can drop it. The hash agg
+    // collapses each partition's repeats first; the exchange carries at
+    // most one row per (partition, key). Same shape
+    // [[candidatePairsFromSigs]] got in round 4.
+    val bWidths = bBuckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__wb"))
     // a bucket with wb ≥ maxBucketWidth can never pass the combined cap
     // (corpus width ≥ 1 for any pair), so don't even probe it
-    val probeKeys = bW.filter(col("__wb") < maxBucketWidth)
-      .select("band", "bucket").distinct()
-    val cW = lshBucketsFromSigs(corpusSigs, idCol)
-      .join(bc(probeKeys), Seq("band", "bucket"), "left_semi")
-      .withColumn("__wc", count(lit(1)).over(wWin))
-      .select(col("band"), col("bucket"), col(idCol).as("a"), col("__wc"))
-    // the candidate-pair table is batch-bounded; the signature joins are
-    // deliberately left to AQE, whose runtime stats pick the broadcast
-    // side — an explicit broadcast hint here measured 5.6× SLOWER at
-    // 1M×200k (the forced exchange serializes the pair subplan) while
-    // saving only shuffle bytes (BENCH.md, incremental dedup)
-    cW.join(bc(bW), Seq("band", "bucket"))
+    val probeKeys = bWidths.filter(col("__wb") < maxBucketWidth)
+      .select("band", "bucket")
+    val cBuckets = lshBucketsFromSigs(corpusSigs, idCol)
+      .select(col("band"), col("bucket"), col(idCol).as("a"))
+    val cWidths = cBuckets.join(bc(probeKeys), Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__wc"))
+    // bucket keys whose COMBINED width fits the cap — batch-bounded tiny
+    val allowed = cWidths.join(bc(bWidths), Seq("band", "bucket"))
       .filter(col("__wc") + col("__wb") <= maxBucketWidth)
+      .select("band", "bucket")
+    // corpus bucket rows are read twice (width pass + pair pass) — both
+    // map-only over the persisted signature table with broadcast-joined
+    // key sets, so the corpus is never shuffled; the FromSigs persist
+    // guidance applies to `batchSigs`/`corpusSigs` as documented above.
+    // The signature joins below are deliberately left to AQE, whose
+    // runtime stats pick the broadcast side — an explicit broadcast hint
+    // measured 5.6× SLOWER at 1M×200k (the forced exchange serializes the
+    // pair subplan) while saving only shuffle bytes (BENCH.md).
+    cBuckets.join(bc(allowed), Seq("band", "bucket"), "left_semi")
+      .join(bc(bBuckets), Seq("band", "bucket"))
       .select("a", "b").distinct()
       .join(corpusSigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sigA"), Seq("a"))
       .join(batchSigs.withColumnRenamed(idCol, "b").withColumnRenamed("sig", "sigB"), Seq("b"))

@@ -457,6 +457,25 @@ class AsOfDecontamSpec extends AnyFunSuite {
     assert(inc(5) == full(5) && inc(5).size == 6, s"cap=5: ${inc(5)} vs ${full(5)}")
   }
 
+  test("incremental pairs plan has NO window operator (widths are hash-aggregated)") {
+    // count().over(partitionBy(band,bucket)) has no map-side partial
+    // aggregation: a degenerate hot bucket would land its entire
+    // membership on one sort task before the width cap can drop it. The
+    // widths must come from hash aggregations (partial agg collapses
+    // per-partition repeats) — assert the optimized plan is window-free.
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.incrementalNearDupPairs(
+        Dedup.signatures(docs, "text", "doc_id"),
+        Dedup.signatures(docs.withColumn("doc_id", col("doc_id") + 100L), "text", "doc_id"),
+        "doc_id")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"corpus-side window in incremental plan: $windows")
+  }
+
   test("repetition signals catch a pathologically repetitive doc") {
     val docs = Seq(
       (1L, Array.fill(50)("spam ham").mkString(" ")),
