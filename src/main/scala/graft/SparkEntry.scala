@@ -484,6 +484,51 @@ object SparkEntry {
           "n_after_intra", "n_curated", "sum_kept_ids")
     }),
 
+    // store COMPACTION + GC + per-batch KMV sketches on top of the q53
+    // lifecycle: ingest two batches, compact the committed partitions into
+    // one (content digest must be bitwise-unchanged), gc the superseded
+    // layout, then a third batch must make the SAME dedup decisions
+    // against the compacted store (qq7 variants of committed survivors
+    // drop, word-reversed fresh docs keep). The final sketch answers
+    // distinct-curated-texts from k persisted longs. Recomputed
+    // end-to-end by the Python crosscheck (incl. both digests and the
+    // md5-based sketch).
+    "q64_store_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q64-store").toString
+      val cfg = graft.ops.Curation.Config(minJaccard = 0.85)
+      val st = graft.ops.CurationStore
+      val batch1 = docs.filter(col("doc_id") % 2 === 0)
+      val batch2 = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(batch1.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9marker")).as("text")))
+      def digest(): Long = st.committedSigs(s, root)
+        .agg(coalesce(expr("bit_xor(xxhash64(doc_id, concat_ws(',', sig)))"),
+          lit(0L))).head().getLong(0)
+      val (_, r1) = st.ingestBatch(batch1, root, cfg = cfg, minJaccard = 0.85)
+      val (_, r2) = st.ingestBatch(batch2, root, cfg = cfg, minJaccard = 0.85)
+      val pre = digest()
+      val cr = st.compact(s, root)
+      val post = digest()
+      val gr = st.gc(s, root, retainSnapshots = 1)
+      val batch3 = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qq7marker")).as("text"))
+        .unionByName(docs.select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val (_, r3) = st.ingestBatch(batch3, root, cfg = cfg, minJaccard = 0.85)
+      val keptSum3 = s.read.parquet(s"$root/data/batch=${r3.version}")
+        .agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0)
+      val sketch = st.unionSketch(s, root)
+      Seq((r1.nCurated, r2.nCurated, cr.nBatchesCompacted, cr.nSigs,
+        pre, post, gr.removedBatchDirs, r3.nArrived, r3.nAfterCorpusDedup,
+        r3.nCurated, keptSum3, sketch.length, sketch.last))
+        .toDF("n_curated_b1", "n_curated_b2", "n_batches_compacted",
+          "n_sigs_compacted", "pre_digest", "post_digest", "gc_removed",
+          "b3_arrived", "b3_after_corpus", "b3_curated", "b3_sum_kept",
+          "sketch_size", "sketch_kth_min")
+    }),
+
     // the candidate→VERIFY dedup tier: LSH proposes, EXACT char-shingle
     // Jaccard disposes (native ExactJaccardExpr per candidate pair) — the
     // tier for decisions where a false drop is expensive. Planted zz9

@@ -39,9 +39,19 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale: each ingest shuffles only batch-sized data (the store side is a
   * one-pass parquet scan of signatures, pruned to buckets the batch
-  * probes); the store grows by one parquet partition per day with no
-  * compaction needed until batch-count ~10³ (then: rewrite data/ under a
-  * fresh snapshot, same as Iceberg compaction).
+  * probes); the store grows by one parquet partition per day until
+  * [[compact]] rewrites the committed partitions as ONE batch under a
+  * fresh snapshot (shuffle-free `coalesce` — same discipline as Iceberg
+  * compaction) and [[gc]] retires data unreachable from the retained
+  * snapshots. Compaction changes the physical layout only: committed
+  * signature CONTENT and therefore every subsequent dedup decision is
+  * identical pre/post (spec-pinned).
+  *
+  * Each ingest also persists a per-batch KMV sketch of the curated TEXTS
+  * (k longs, `sketches/batch=<v>/`): [[distinctEstimate]] answers
+  * "distinct docs across any batch subset" by unioning k longs per batch
+  * — exact by the KMV closure property, no re-scan of the corpus, and
+  * compaction unions the inputs' sketches so the property survives it.
   */
 object CurationStore {
 
@@ -57,10 +67,21 @@ object CurationStore {
       version: Int, batchId: Int, nArrived: Long, nAfterExact: Long,
       nAfterCorpusDedup: Long, nAfterIntraDedup: Long, nCurated: Long)
 
+  final case class CompactReport(version: Int, nBatchesCompacted: Int, nSigs: Long)
+
+  final case class GcReport(removedBatchDirs: Int, removedSketchDirs: Int,
+      removedSnapshots: Int)
+
+  /** k for the per-batch curated-text KMV sketches — 256 longs (2 KB) per
+    * batch bounds the estimator error at ~1/√k ≈ 6%.
+    */
+  val SketchK: Int = 256
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def snapshotDir(root: String) = new Path(root, "_snapshots")
   private def dataDir(root: String) = new Path(root, "data").toString
+  private def sketchesDir(root: String) = new Path(root, "sketches").toString
 
   private def render(s: StoreSnapshot): String = {
     val counts = s.counts.sortBy(_._1)
@@ -209,6 +230,11 @@ object CurationStore {
       // count from the just-written partition (tiny; also validates the write)
       val nCurated = spark.read
         .parquet(new Path(dataDir(root), s"batch=$version").toString).count()
+      // per-batch KMV sketch of the curated texts (k longs) — visible only
+      // once the snapshot commits, same crash discipline as data/
+      writeSketch(spark, root, version,
+        curated.agg(graft.functions.KmvSketch.kmv(col(textCol), SketchK))
+          .head().getSeq[Long](0).toArray)
       val snap = StoreSnapshot(
         version = version,
         parent = prev.map(_.version).getOrElse(-1),
@@ -219,5 +245,146 @@ object CurationStore {
       Some((curated, IngestReport(version, version, nArrived, nAfterExact,
         nAfterCorpus, nAfterIntra, nCurated)))
     } finally cached.foreach(_.unpersist())
+  }
+
+  private def writeSketch(spark: SparkSession, root: String, batch: Int,
+      kmv: Array[Long]): Unit = {
+    import spark.implicits._
+    Seq((SketchK, kmv)).toDF("k", "kmv")
+      .write.mode("overwrite")
+      .parquet(new Path(sketchesDir(root), s"batch=$batch").toString)
+  }
+
+  /** Per-batch curated-text KMV sketches of the COMMITTED batches:
+    * (batch, k, kmv). Batches ingested by a pre-sketch store version have
+    * no sketch row — [[distinctEstimate]] rejects such subsets explicitly.
+    */
+  def batchSketches(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("kmv", ArrayType(LongType)),
+      StructField("batch", IntegerType)))
+    val committed = lastSnapshot(spark, root).map(_.committedBatches)
+      .getOrElse(Set.empty)
+    if (committed.isEmpty || !fs(spark, root).exists(new Path(sketchesDir(root))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(sketchesDir(root))
+      .filter(col("batch").isin(committed.toSeq.sorted: _*))
+  }
+
+  /** Union KMV sketch over a committed-batch subset (default: all) — k
+    * longs per batch in, one k-long sketch out, never touching data/.
+    * Exact by the KMV closure property: identical to sketching the
+    * concatenation of those batches' curated texts directly (spec-pinned,
+    * and the q64 crosscheck recomputes it from scratch).
+    */
+  def unionSketch(spark: SparkSession, root: String,
+      batches: Option[Seq[Int]] = None): Array[Long] = {
+    val all = batchSketches(spark, root)
+    val subset = batches match {
+      case Some(bs) =>
+        val have = all.select("batch").collect().map(_.getInt(0)).toSet
+        val missing = bs.filterNot(have)
+        require(missing.isEmpty,
+          s"no sketch for committed batches ${missing.mkString(",")} " +
+            "(pre-sketch store version?)")
+        all.filter(col("batch").isin(bs: _*))
+      case None => all
+    }
+    subset.agg(graft.functions.KmvSketch.kmvUnion(col("kmv"), SketchK).as("u"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** Distinct curated documents (by text) across a batch subset, from the
+    * persisted per-batch sketches alone: exact while < k distincts, the
+    * Bar-Yossef (k-1)/R estimate beyond.
+    */
+  def distinctEstimate(spark: SparkSession, root: String,
+      batches: Option[Seq[Int]] = None): Double = {
+    val u = unionSketch(spark, root, batches)
+    if (u.length < SketchK) u.length.toDouble
+    else {
+      val kth = u.last // ascending unsigned; last = kth smallest
+      val kthU = if (kth < 0) kth.toDouble + math.pow(2.0, 64) else kth.toDouble
+      (SketchK - 1).toDouble * math.pow(2.0, 64) / kthU
+    }
+  }
+
+  /** Rewrite every committed batch partition as ONE batch under a fresh
+    * snapshot — the Iceberg-style answer to ~10³ accumulated daily
+    * partitions. Physical layout only: the committed signature CONTENT is
+    * unchanged (one shuffle-free `coalesce` pass sized by
+    * `targetRowsPerFile`), so every subsequent dedup decision is identical
+    * pre/post (spec-pinned). The inputs' KMV sketches union into the new
+    * batch's sketch (exact — closure property), so [[distinctEstimate]]
+    * survives compaction too. Old batch directories are retired by [[gc]],
+    * not here: superseded snapshots may still reference them.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetRowsPerFile: Long = 1L << 20): CompactReport = {
+    val prev = lastSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val committed = prev.committedBatches
+    require(committed.nonEmpty, "nothing to compact: no committed batches")
+    val version = prev.version + 1
+    val total = prev.counts.filter(c => committed(c._1)).map(_._2).sum
+    val nFiles = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    spark.read.parquet(dataDir(root))
+      .filter(col("batch").isin(committed.toSeq.sorted: _*))
+      .drop("batch")
+      .coalesce(nFiles)
+      .write.mode("overwrite")
+      .parquet(new Path(dataDir(root), s"batch=$version").toString)
+    val nSigs = spark.read
+      .parquet(new Path(dataDir(root), s"batch=$version").toString).count()
+    // union the inputs' sketches when every input has one (a store created
+    // before sketches existed compacts fine, just without an estimate)
+    val haveSketches = batchSketches(spark, root)
+      .select("batch").collect().map(_.getInt(0)).toSet
+    if (committed.subsetOf(haveSketches))
+      writeSketch(spark, root, version, unionSketch(spark, root))
+    commit(spark, root, StoreSnapshot(
+      version = version, parent = prev.version,
+      committedBatches = Set(version),
+      counts = Seq(version -> total), token = -1L))
+    CompactReport(version, committed.size, nSigs)
+  }
+
+  /** Retire store data unreachable from the `retainSnapshots` most recent
+    * snapshots: batch data/sketch directories referenced by none of them,
+    * and the superseded snapshot files below the retained window. Batch
+    * directories NEWER than the last committed snapshot are left alone —
+    * they may be an in-flight ingest's uncommitted write.
+    */
+  def gc(spark: SparkSession, root: String, retainSnapshots: Int = 2): GcReport = {
+    require(retainSnapshots >= 1, "must retain at least the latest snapshot")
+    val snaps = snapshots(spark, root)
+    if (snaps.isEmpty) return GcReport(0, 0, 0)
+    val retained = snaps.takeRight(retainSnapshots)
+    val keep = retained.flatMap(_.committedBatches).toSet
+    val lastVersion = snaps.last.version
+    val f = fs(spark, root)
+    def sweep(dir: String): Int = {
+      val p = new Path(dir)
+      if (!f.exists(p)) 0
+      else f.listStatus(p).toSeq.count { st =>
+        val name = st.getPath.getName
+        name.startsWith("batch=") && {
+          val v = name.stripPrefix("batch=").toInt
+          v <= lastVersion && !keep(v) && f.delete(st.getPath, true)
+        }
+      }
+    }
+    val dataRemoved = sweep(dataDir(root))
+    val sketchRemoved = sweep(sketchesDir(root))
+    val minKept = retained.head.version
+    val snapRemoved = f.listStatus(snapshotDir(root)).toSeq.count { st =>
+      val name = st.getPath.getName
+      name.matches("v\\d+\\.json") &&
+        name.stripPrefix("v").stripSuffix(".json").toInt < minKept &&
+        f.delete(st.getPath, false)
+    }
+    GcReport(dataRemoved, sketchRemoved, snapRemoved)
   }
 }

@@ -166,6 +166,98 @@ class CurationStoreSpec extends AnyFunSuite {
     assert(CurationStore.committedSigs(spark, root).count() == 3L)
   }
 
+  test("compaction: identical committedSigs content and identical dedup decisions pre/post") {
+    val cfg = Curation.Config(minJaccard = 0.85)
+    val b1 = Seq((1L, goodText(1)), (2L, goodText(2)), (3L, goodText(3)))
+    val b2 = Seq((11L, goodText(11)), (12L, goodText(12)),
+      (13L, goodText(2) + " zz9")) // near-dup of committed 2 → dropped
+    // batch 3 probes BOTH pre-compaction batches: variants of a batch-1 and
+    // a batch-2 survivor must drop, one fresh doc must survive
+    val b3 = Seq((21L, goodText(1) + " zz9"), (22L, goodText(11) + " zz9"),
+      (23L, goodText(23)))
+
+    def sigSet(root: String): Set[(Long, Seq[Long])] =
+      CurationStore.committedSigs(spark, root)
+        .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toSet
+
+    def run(compactBetween: Boolean): (Set[(Long, Seq[Long])], CurationStore.IngestReport, Set[Long]) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-store-c").toString
+      CurationStore.ingestBatch(b1.toDF("doc_id", "text"), root, cfg = cfg, minJaccard = 0.85)
+      CurationStore.ingestBatch(b2.toDF("doc_id", "text"), root, cfg = cfg, minJaccard = 0.85)
+      val pre = sigSet(root)
+      if (compactBetween) {
+        val cr = CurationStore.compact(spark, root)
+        assert(cr.nBatchesCompacted == 2 && cr.nSigs == pre.size.toLong, cr.toString)
+        assert(sigSet(root) == pre, "compaction must not change committed sig content")
+        val last = CurationStore.lastSnapshot(spark, root).get
+        assert(last.committedBatches == Set(cr.version) && last.counts.map(_._2).sum == cr.nSigs)
+      }
+      val (kept, rep) = CurationStore.ingestBatch(
+        b3.toDF("doc_id", "text"), root, cfg = cfg, minJaccard = 0.85)
+      (pre, rep, kept.select("doc_id").as[Long].collect().toSet)
+    }
+
+    val (preA, repA, keptA) = run(compactBetween = true)
+    val (preB, repB, keptB) = run(compactBetween = false)
+    assert(preA == preB)
+    assert(keptA == keptB && keptA == Set(23L), s"keptA=$keptA keptB=$keptB")
+    assert((repA.nArrived, repA.nAfterExact, repA.nAfterCorpusDedup,
+      repA.nAfterIntraDedup, repA.nCurated) ==
+      (repB.nArrived, repB.nAfterExact, repB.nAfterCorpusDedup,
+        repB.nAfterIntraDedup, repB.nCurated),
+      s"lineage must be compaction-invariant: $repA vs $repB")
+  }
+
+  test("gc retires unreferenced batch dirs and superseded snapshots, keeps in-flight writes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store-gc").toString
+    CurationStore.ingestBatch(Seq((1L, goodText(1))).toDF("doc_id", "text"), root)
+    CurationStore.ingestBatch(Seq((2L, goodText(2))).toDF("doc_id", "text"), root)
+    CurationStore.compact(spark, root) // version 3 = {1,2} compacted
+    // simulate an in-flight ingest writing batch=99 with no snapshot...
+    // (v > last committed version ⇒ gc must not touch it)
+    Seq((999L, Array(1L, 2L), 99)).toDF("doc_id", "sig", "batch")
+      .write.parquet(s"$root/data/batch=99")
+    val before = CurationStore.committedSigs(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    val gr = CurationStore.gc(spark, root, retainSnapshots = 1)
+    assert(gr.removedBatchDirs == 2 && gr.removedSnapshots == 2, gr.toString)
+    assert(new java.io.File(s"$root/data/batch=99").exists, "in-flight write swept")
+    assert(!new java.io.File(s"$root/data/batch=1").exists)
+    assert(CurationStore.committedSigs(spark, root)
+      .select("doc_id").as[Long].collect().toSet == before,
+      "gc must not change committed content")
+    assert(CurationStore.snapshots(spark, root).map(_.version) == Seq(3))
+  }
+
+  test("per-batch KMV sketches: union-of-persisted == direct global sketch, through compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store-kmv").toString
+    val t1 = Seq((1L, goodText(1)), (2L, goodText(2)))
+    val t2 = Seq((11L, goodText(11)), (12L, goodText(12)), (13L, goodText(13)))
+    CurationStore.ingestBatch(t1.toDF("doc_id", "text"), root)
+    CurationStore.ingestBatch(t2.toDF("doc_id", "text"), root)
+    // all 5 docs are distinct and pass the gate → curated texts = all texts
+    val direct = (t1 ++ t2).map(_._2).toDF("text")
+      .agg(graft.functions.KmvSketch.kmv(col("text"), CurationStore.SketchK))
+      .head().getSeq[Long](0).toArray
+    assert(CurationStore.unionSketch(spark, root).toSeq == direct.toSeq,
+      "union of per-batch sketches must equal the direct global sketch")
+    // subset: batch 1 alone sketches exactly its own two texts
+    val direct1 = t1.map(_._2).toDF("text")
+      .agg(graft.functions.KmvSketch.kmv(col("text"), CurationStore.SketchK))
+      .head().getSeq[Long](0).toArray
+    assert(CurationStore.unionSketch(spark, root, Some(Seq(1))).toSeq == direct1.toSeq)
+    // below k the estimate is exact
+    assert(CurationStore.distinctEstimate(spark, root) == 5.0)
+    // compaction unions the inputs' sketches — estimate and sketch survive
+    CurationStore.compact(spark, root)
+    assert(CurationStore.unionSketch(spark, root).toSeq == direct.toSeq,
+      "compacted batch sketch must be the union of its inputs'")
+    assert(CurationStore.distinctEstimate(spark, root) == 5.0)
+    intercept[IllegalArgumentException] {
+      CurationStore.unionSketch(spark, root, Some(Seq(1))) // retired subset
+    }
+  }
+
   test("uncommitted partial data is invisible; ingest overwrites it atomically") {
     val root = java.nio.file.Files.createTempDirectory("graft-store2").toString
     // simulate a crashed ingest: partition files exist, no snapshot

@@ -171,15 +171,13 @@ def q49(docs):
     return ["is_variant", "n", "sum_id"], rows
 
 
-def q53(docs):
-    """Mirror of SparkEntry q53: the CurationStore two-batch lifecycle —
+def _store_ingest(batch, store_sigs, th=0.85):
+    """One CurationStore.ingestBatch turn, replayed with dicts/loops:
     exact dedup -> near-dup vs the store's SURVIVOR signatures (combined
     bucket-width cap, same as Dedup.incrementalNearDupPairs) -> intra-batch
     greedy near-dup -> quality gate -> survivors' sigs appended to the
-    store. Recomputed here with plain dict/loop code over the ported
-    minhash/band primitives."""
+    store. Returns lineage counts, curated ids, and the updated store."""
     import re
-    th = 0.85
     ws = re.compile(r"\s+", re.ASCII)
     nonalnum = re.compile(r"[^A-Za-z0-9]")
 
@@ -193,55 +191,98 @@ def q53(docs):
     def est(a, b):
         return sum(1 for x, y in zip(a, b) if x == y) / dedup.NUM_HASHES
 
-    def ingest(batch, store_sigs):
-        texts = dict(batch)
-        by_text = {}
-        for i, t in batch:
-            if t not in by_text or i < by_text[t]:
-                by_text[t] = i
-        keep_exact = sorted(by_text.values())
-        sigs = {i: dedup.minhash_signature(texts[i]) for i in keep_exact}
-        # vs store: combined-width-capped band collisions against survivor sigs
-        sbuck = {}
-        for i, s in store_sigs.items():
-            for k in dedup.band_buckets(s):
-                sbuck.setdefault(k, []).append(i)
-        bbuck = {}
-        for i in keep_exact:
-            for k in dedup.band_buckets(sigs[i]):
-                bbuck.setdefault(k, []).append(i)
-        dropped = set()
-        for k, bids in bbuck.items():
-            cids = sbuck.get(k)
-            if not cids or len(cids) + len(bids) > dedup.DEFAULT_MAX_BUCKET_WIDTH:
+    texts = dict(batch)
+    by_text = {}
+    for i, t in batch:
+        if t not in by_text or i < by_text[t]:
+            by_text[t] = i
+    keep_exact = sorted(by_text.values())
+    sigs = {i: dedup.minhash_signature(texts[i]) for i in keep_exact}
+    # vs store: combined-width-capped band collisions against survivor sigs
+    sbuck = {}
+    for i, s in store_sigs.items():
+        for k in dedup.band_buckets(s):
+            sbuck.setdefault(k, []).append(i)
+    bbuck = {}
+    for i in keep_exact:
+        for k in dedup.band_buckets(sigs[i]):
+            bbuck.setdefault(k, []).append(i)
+    dropped = set()
+    for k, bids in bbuck.items():
+        cids = sbuck.get(k)
+        if not cids or len(cids) + len(bids) > dedup.DEFAULT_MAX_BUCKET_WIDTH:
+            continue
+        for b in bids:
+            if b in dropped:
                 continue
-            for b in bids:
-                if b in dropped:
-                    continue
-                if any(est(sigs[b], store_sigs[a]) >= th for a in cids):
-                    dropped.add(b)
-        after_corpus = [i for i in keep_exact if i not in dropped]
-        pairs = dedup.near_dup_pairs([(i, texts[i]) for i in after_corpus],
-                                     min_jaccard=th)
-        d2 = {b for _a, b, _e in pairs}
-        after_intra = [i for i in after_corpus if i not in d2]
-        curated = [i for i in after_intra
-                   if alnum_ratio(texts[i]) >= 0.40
-                   and 5 <= tok_count(texts[i]) <= 100000]
-        new_store = dict(store_sigs)
-        new_store.update({i: sigs[i] for i in curated})
-        return (len(batch), len(keep_exact), len(after_corpus),
-                len(after_intra), curated, new_store)
+            if any(est(sigs[b], store_sigs[a]) >= th for a in cids):
+                dropped.add(b)
+    after_corpus = [i for i in keep_exact if i not in dropped]
+    pairs = dedup.near_dup_pairs([(i, texts[i]) for i in after_corpus],
+                                 min_jaccard=th)
+    d2 = {b for _a, b, _e in pairs}
+    after_intra = [i for i in after_corpus if i not in d2]
+    curated = [i for i in after_intra
+               if alnum_ratio(texts[i]) >= 0.40
+               and 5 <= tok_count(texts[i]) <= 100000]
+    new_store = dict(store_sigs)
+    new_store.update({i: sigs[i] for i in curated})
+    return (len(batch), len(keep_exact), len(after_corpus),
+            len(after_intra), curated, new_store,
+            {i: texts[i] for i in curated})
 
+
+def q53(docs):
+    """Mirror of SparkEntry q53: the CurationStore two-batch lifecycle
+    (see _store_ingest for the replayed stage order)."""
     b1 = [(d[0], d[1]) for d in docs if d[0] % 2 == 0]
     b2 = [(d[0], d[1]) for d in docs if d[0] % 2 == 1] + \
          [(i + 1000000, t + " zz9marker") for i, t in b1]
-    a1, e1, c1, i1, k1, store = ingest(b1, {})
-    a2, e2, c2, i2, k2, _ = ingest(b2, store)
+    a1, e1, c1, i1, k1, store, _t1 = _store_ingest(b1, {})
+    a2, e2, c2, i2, k2, _, _t2 = _store_ingest(b2, store)
     cols = ["batch", "n_arrived", "n_after_exact", "n_after_corpus",
             "n_after_intra", "n_curated", "sum_kept_ids"]
     return cols, [(1, a1, e1, c1, i1, len(k1), sum(k1)),
                   (2, a2, e2, c2, i2, len(k2), sum(k2))]
+
+
+def q64(docs):
+    """Mirror of SparkEntry q64: q53's two ingests, then compaction (a
+    physical rewrite — the committed-sig digest must be bitwise-unchanged,
+    so the replay computes ONE digest and emits it as both pre and post),
+    gc (structurally 2 retired batch dirs), a third batch that must make
+    identical dedup decisions against the compacted store, and the
+    md5-KMV sketch of all curated texts (union-of-per-batch == direct
+    global sketch by the KMV closure property, so the replay sketches the
+    final text set directly)."""
+    import hashlib
+    from graftcheck.hashes import spark_xxhash64, i64, M64
+    SKETCH_K = 256
+    base = [(d[0], d[1]) for d in docs]
+    b1 = [(i, t) for i, t in base if i % 2 == 0]
+    b2 = [(i, t) for i, t in base if i % 2 == 1] + \
+         [(i + 1000000, t + " zz9marker") for i, t in b1]
+    a1, e1, c1, i1, k1, store, texts = _store_ingest(b1, {})
+    a2, e2, c2, i2, k2, store, t2 = _store_ingest(b2, store)
+    texts.update(t2)
+    dg = 0
+    for i in sorted(store):
+        sig_str = ",".join(str(v) for v in store[i])
+        dg ^= spark_xxhash64([i, sig_str]) & M64
+    dg = i64(dg)
+    b3 = [(i + 2000000, t + " qq7marker") for i, t in base] + \
+         [(i + 3000000, " ".join(t.split(" ")[::-1])) for i, t in base]
+    a3, e3, c3, i3, k3, store, t3 = _store_ingest(b3, store)
+    texts.update(t3)
+    hs = sorted({int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                "big") & M64 for t in texts.values()})
+    mins = hs[:SKETCH_K]
+    cols = ["n_curated_b1", "n_curated_b2", "n_batches_compacted",
+            "n_sigs_compacted", "pre_digest", "post_digest", "gc_removed",
+            "b3_arrived", "b3_after_corpus", "b3_curated", "b3_sum_kept",
+            "sketch_size", "sketch_kth_min"]
+    return cols, [(len(k1), len(k2), 2, len(k1) + len(k2), dg, dg, 2,
+                   a3, c3, len(k3), sum(k3), len(mins), i64(mins[-1]))]
 
 
 def q54(docs):
@@ -690,6 +731,7 @@ def main():
         "q19c_neardup_clusters": lambda: q19c(docs),
         "q49_incremental_dedup": lambda: q49(docs),
         "q53_store_lifecycle": lambda: q53(docs),
+        "q64_store_compaction": lambda: q64(docs),
         "q54_verified_neardups": lambda: q54(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),
