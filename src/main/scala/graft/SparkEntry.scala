@@ -529,6 +529,31 @@ object SparkEntry {
           "sketch_size", "sketch_kth_min")
     }),
 
+    // unaligned-substring REMOVAL with reconstruction (Dedup.dedupWindows,
+    // the excision tier over q52's detection): every doc_id % 7 == 0 doc
+    // gets a copier that embeds its first 160 chars behind a 43-char
+    // prefix (not a multiple of the window length — invisible to fixed
+    // chunking); the shared passage must be excised from the copier and
+    // the digest pins every rebuilt document bit-for-bit. selectBits = 0
+    // → full duplicated-window coverage. Recomputed by the Python
+    // crosscheck.
+    "q65_window_excise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copiers = docs
+        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 200)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(lit("#" * 42 + " "), substring(col("text"), 1, 160),
+            lit(" qq7tail")).as("text"))
+      Dedup.dedupWindows(docs.unionByName(copiers), "text", "doc_id",
+          windowLen = 40, selectBits = 0)
+        .groupBy((col("doc_id") >= 4000000L).as("is_copier"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_removed")).as("sum_removed"),
+          sum(col("n_spans")).as("sum_spans"),
+          expr("bit_xor(xxhash64(doc_id, sha2(cleaned, 256)))").as("digest"))
+    }),
+
     // the candidate→VERIFY dedup tier: LSH proposes, EXACT char-shingle
     // Jaccard disposes (native ExactJaccardExpr per candidate pair) — the
     // tier for decisions where a false drop is expensive. Planted zz9

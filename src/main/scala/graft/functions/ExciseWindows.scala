@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Excise fixed-length windows from a string: given the SORTED start
+  * positions of `windowLen`-char windows to remove, the intervals
+  * [pos, pos+windowLen) are merged and the remaining segments concatenated
+  * in order — the rebuild step of unaligned-substring dedup
+  * (graft.ops.Dedup.dedupWindows), the substring-granularity analogue of
+  * dedupLines' per-document reconstruction.
+  *
+  * Positions are UTF-16 indices, matching [[WindowFingerprintPositionsExpr]]
+  * (the shared BMP-only contract of the window-fingerprint family).
+  * Out-of-range tails are clamped; unsorted input is rejected (the operator
+  * always sorts upstream — sort_array on the collected positions).
+  *
+  * Why an Expression: one compiled O(len) segment copy per document; the
+  * higher-order-function formulation would rebuild the string by repeated
+  * `concat(substring(...))` — quadratic allocation per document and an
+  * interpreted lambda per span.
+  */
+case class ExciseWindowsExpr(left: Expression, right: Expression, windowLen: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) if windowLen > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckFailure(s"windowLen must be positive: $windowLen")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"excise_windows requires (string, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "excise_windows"
+
+  override protected def nullSafeEval(text: Any, positions: Any): Any =
+    ExciseWindowsExpr.compute(text.asInstanceOf[UTF8String],
+      positions.asInstanceOf[ArrayData], windowLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.ExciseWindowsExpr.compute($t, $p, $windowLen)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object ExciseWindowsExpr {
+
+  /** Static so generated code calls it directly. */
+  def compute(text: UTF8String, positions: ArrayData, windowLen: Int): UTF8String = {
+    val n = positions.numElements()
+    if (n == 0) return text
+    val str = text.toString
+    val len = str.length
+    val sb = new java.lang.StringBuilder(len)
+    var cur = 0 // next uncopied index
+    var prev = Int.MinValue
+    var i = 0
+    while (i < n) {
+      val p = positions.getInt(i)
+      if (p < prev)
+        throw new IllegalArgumentException(
+          s"excise_windows positions must be sorted ascending: $p after $prev")
+      prev = p
+      val s = math.max(p, cur)
+      val e = math.min(p + windowLen, len)
+      if (s < e) {
+        if (cur < s) sb.append(str, cur, s)
+        cur = e
+      }
+      i += 1
+    }
+    if (cur < len) sb.append(str, cur, len)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def excise_windows(text: Column, positions: Column, windowLen: Int): Column =
+    ColumnBridge.column(ExciseWindowsExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(positions), windowLen))
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.util.Hashing
@@ -56,6 +56,43 @@ case class WindowFingerprintsExpr(child: Expression, windowLen: Int, selectBits:
     copy(child = newChild)
 }
 
+/** [[WindowFingerprintsExpr]] with POSITIONS: `array<struct<pos:int,
+  * fp:bigint>>` — the removal tier needs to know WHERE each selected
+  * window sits so non-keeper occurrences can be excised
+  * (graft.ops.Dedup.dedupWindows). Same rolling scan, same selection
+  * predicate, same UTF-16 position/window units as the base form (the
+  * BMP-only contract is shared — see the Python port note).
+  */
+case class WindowFingerprintPositionsExpr(child: Expression, windowLen: Int,
+    selectBits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"window_fp_positions requires a string argument, got ${child.dataType}")
+    else if (windowLen <= 0)
+      TypeCheckResult.TypeCheckFailure(s"windowLen must be positive: $windowLen")
+    else if (selectBits < 0 || selectBits > 62)
+      TypeCheckResult.TypeCheckFailure(s"selectBits out of range: $selectBits")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "window_fp_positions"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowFingerprintsExpr.computeWithPositions(
+      input.asInstanceOf[UTF8String], windowLen, selectBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowFingerprintsExpr.computeWithPositions($c, $windowLen, $selectBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WindowFingerprintsExpr {
 
   private val Base = 1000003L
@@ -88,8 +125,44 @@ object WindowFingerprintsExpr {
     UnsafeArrayData.fromPrimitiveArray(out.toArray)
   }
 
+  /** [[compute]] with positions — one GenericInternalRow(pos, fp) per
+    * selected window, position order. Static so generated code calls it.
+    */
+  def computeWithPositions(s: UTF8String, windowLen: Int,
+      selectBits: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val str = if (s == null) "" else s.toString
+    val n = str.length
+    if (n < windowLen) return new GenericArrayData(Array.empty[Any])
+    val mask = (1L << selectBits) - 1L
+    var pow = 1L
+    var i = 1
+    while (i < windowLen) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < windowLen) { h = h * Base + str.charAt(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var fp = Hashing.splitmix64(h)
+    if ((fp & mask) == 0L) out += new GenericInternalRow(Array[Any](0, fp))
+    i = windowLen
+    while (i < n) {
+      h = (h - str.charAt(i - windowLen) * pow) * Base + str.charAt(i)
+      fp = Hashing.splitmix64(h)
+      if ((fp & mask) == 0L)
+        out += new GenericInternalRow(Array[Any](i - windowLen + 1, fp))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Column helper (Spark 4 classic Column↔Expression bridge). */
   def window_fingerprints(c: Column, windowLen: Int, selectBits: Int): Column =
     ColumnBridge.column(
       WindowFingerprintsExpr(ColumnBridge.expression(c), windowLen, selectBits))
+
+  /** Column helper for the positions form. */
+  def window_fp_positions(c: Column, windowLen: Int, selectBits: Int): Column =
+    ColumnBridge.column(
+      WindowFingerprintPositionsExpr(ColumnBridge.expression(c), windowLen, selectBits))
 }

@@ -660,6 +660,70 @@ object Dedup {
         min(col(idCol)).as("keeper_id"))
       .filter(col("n_occurrences") > 1)
 
+  /** Unaligned-substring REMOVAL with reconstruction — the excision tier
+    * on top of [[windowDupGroupsRolling]]'s detection (what Lee et al.
+    * 2022 actually do to the corpus, at content-defined-window
+    * granularity): every selected window whose fingerprint occurs more
+    * than once in the corpus is REMOVED from every position except the
+    * single keeper occurrence (smallest (doc id, position)); per document
+    * the removal intervals [pos, pos+windowLen) are merged and the
+    * surviving segments re-joined in order (native O(len)
+    * `ExciseWindowsExpr`). `selectBits = 0` selects EVERY window — full
+    * duplicated-substring coverage at windowLen granularity; higher values
+    * trade coverage for the 1/2^selectBits sampled density the corpus
+    * pass pays.
+    *
+    * Returns one row per input document:
+    * (idCol, n_chars, n_removed, n_spans, cleaned).
+    *
+    * Scale shape (the [[dedupLines]] discipline at substring granularity):
+    * the sampled occurrence table shuffles twice on the uniform
+    * fingerprint key — once into the (count, min-keeper) aggregation
+    * (both partially aggregated map-side) and once into the join back,
+    * where only duplicated fingerprints survive the build side. The
+    * per-document position collection is bounded by document length, and
+    * the final rebuild join touches the corpus once (the removal side
+    * carries only docs that lost at least one window — AQE broadcasts it
+    * when small). Positions are UTF-16 indices (the window-fingerprint
+    * family's shared BMP contract).
+    */
+  def dedupWindows(df: DataFrame, textCol: String, idCol: String,
+      windowLen: Int = 40, selectBits: Int = 4): DataFrame = {
+    val occ = df.select(col(idCol),
+      explode(graft.functions.WindowFingerprintsExpr
+        .window_fp_positions(col(textCol), windowLen, selectBits)).as("__o"))
+      .select(col(idCol), col("__o.pos").as("__pos"), col("__o.fp").as("__fp"))
+    val keepers = occ.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("__pos"))).as("__keep"))
+      .filter(col("__n") > 1)
+      .select(col("__fp"), col("__keep"))
+    val removals = occ.join(keepers, Seq("__fp"))
+      .filter(!(col(s"__keep.$idCol") === col(idCol) &&
+        col("__keep.__pos") === col("__pos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__poss"))
+    val cleaned = when(col("__poss").isNull, col(textCol))
+      .otherwise(graft.functions.ExciseWindowsExpr
+        .excise_windows(col(textCol), col("__poss"), windowLen))
+    // merged-interval count over the sorted positions: a new span starts
+    // whenever a position lies strictly past the previous interval's end
+    // (touching intervals merge, matching the excision)
+    val nSpans = coalesce(aggregate(col("__poss"),
+      struct(lit(0L).as("cnt"), lit(-1L).as("end")),
+      (acc, p) => struct(
+        (acc.getField("cnt") +
+          when(p.cast("long") > acc.getField("end"), 1L).otherwise(0L)).as("cnt"),
+        (p.cast("long") + windowLen).as("end")),
+      acc => acc.getField("cnt")), lit(0L))
+    df.join(removals, Seq(idCol), "left")
+      .select(col(idCol),
+        length(col(textCol)).as("n_chars"),
+        (length(col(textCol)) - length(cleaned)).cast("long").as("n_removed"),
+        nSpans.as("n_spans"),
+        cleaned.as("cleaned"))
+  }
+
   /** The candidate→VERIFY dedup tier (Lee et al.: approximate proposal,
     * exact disposition): LSH candidate pairs re-scored with the EXACT
     * character-shingle Jaccard (native `ExactJaccardExpr`), keeping pairs

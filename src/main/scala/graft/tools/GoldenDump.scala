@@ -164,6 +164,23 @@ object GoldenDump {
     sb.append(s""""window_fps_all": ${wfDump(0)},\n""")
     sb.append(s""""window_fps_sel3": ${wfDump(3)},\n""")
 
+    // positions variant + excision (dedupWindows tier): pins the
+    // (pos, fp) stream and the merged-interval rebuild
+    def wfPosDump(bits: Int): String = {
+      val a = graft.functions.WindowFingerprintsExpr.computeWithPositions(
+        org.apache.spark.unsafe.types.UTF8String.fromString(wfText), 7, bits)
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        s"[${r.getInt(0)},${r.getLong(1)}]"
+      }.mkString("[", ",", "]")
+    }
+    sb.append(s""""window_fp_positions_sel3": ${wfPosDump(3)},\n""")
+    val exOut = graft.functions.ExciseWindowsExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(wfText),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(3, 9, 40, 60)),
+      7).toString
+    sb.append(s""""excise_3_9_40_60_w7": ${jstr(exOut)},\n""")
+
     // --- quality classifier (graft.ml) ------------------------------------
     // Feature vectors as RAW IEEE-754 bits (no decimal round-trip), the
     // algebraic link on sample points, and a 3-iteration distributed

@@ -308,6 +308,26 @@ object NewOpsScaleBench {
     }
 
     // ------------------------------------------------------------------
+    // Window EXCISION (removal + rebuild on top of the rolling detection):
+    // same sampled occurrence table, two uniform-key shuffles + the
+    // rebuild join. Digest-consistency is asserted in-run: total removed
+    // chars equals the per-doc length delta summed.
+    // ------------------------------------------------------------------
+    measure("window_excise", nDocs) {
+      val out = graft.ops.Dedup.dedupWindows(winDocs, "text", "doc_id",
+        windowLen = 40, selectBits = 4)
+      val r = out.agg(
+        sum(col("n_removed")).as("removed"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docsTouched"),
+        sum(col("n_spans")).as("spans"),
+        sum(length(col("cleaned"))).as("cleanedChars"),
+        sum(col("n_chars")).as("chars")).head()
+      require(r.getLong(4) - r.getLong(3) == r.getLong(0),
+        "excised chars must equal the summed length delta")
+      s""""removedChars":${r.getLong(0)},"docsTouched":${r.getLong(1)},"mergedSpans":${r.getLong(2)}"""
+    }
+
+    // ------------------------------------------------------------------
     // Toxicity scrub: one codegen regex pass over the 1M docs. The deny
     // terms are real corpus vocab, so flagged counts are non-trivial; an
     // independent rlike formulation recounts the flag set (plan-level

@@ -76,6 +76,92 @@ class OpsSpec extends AnyFunSuite {
     assert(rollCross > 0L, "rolling window sampling must flag the shared passage")
   }
 
+  test("window excision removes a planted offset-40 passage from the non-keeper doc only") {
+    // shared 200-char passage at offset 0 in doc 1, offset 43 in doc 2 —
+    // alignment-invisible to fixed chunking. selectBits = 0 selects EVERY
+    // window, so the merged removal interval covers the whole passage.
+    // NOTE every filler is repetition-free: a `"tail " * 4` style fixture
+    // self-duplicates its own windows and the operator (correctly, per the
+    // exact-substring semantics) excises the later repeats
+    val passage = Seq.tabulate(20)(j => f"shared$j%03d").mkString("") // 9×20 = 180 chars
+    assert(passage.length == 180)
+    // boundary chars around the passage DIFFER between the docs ("A" vs
+    // "B") so no window straddling a passage edge is shared
+    val tail1 = Seq.tabulate(12)(j => f"oneTail$j%02d").mkString(" ")
+    val tail2 = Seq.tabulate(12)(j => f"twoEnd$j%03d").mkString(" ")
+    // 43-char repetition-free prefix (offsets 0 vs 43 — not a multiple of
+    // the window length, invisible to fixed chunking)
+    val prefix2 = Seq.tabulate(21)('a' + _).map(_.toChar).mkString("#") + "! "
+    assert(prefix2.length == 43)
+    val d1 = passage + "A" + tail1
+    val d2 = prefix2 + passage + "B" + tail2
+    val d3 = Seq.tabulate(30)(j => f"unrelated$j%04d").mkString(" ")
+    val out = Dedup.dedupWindows(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+        "text", "doc_id", windowLen = 40, selectBits = 0)
+      .select("doc_id", "n_chars", "n_removed", "n_spans", "cleaned")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1 holds every keeper occurrence (smaller id) → untouched
+    assert(out(0) == ((1L, d1.length.toLong, 0L, 0L, d1)), out(0).toString)
+    // doc 2 loses exactly the 180 shared chars, rebuilt around them
+    assert(out(1)._3 == 180L && out(1)._4 == 1L, out(1).toString)
+    assert(out(1)._5 == prefix2 + "B" + tail2)
+    assert(out(2) == ((3L, d3.length.toLong, 0L, 0L, d3)), out(2).toString)
+  }
+
+  test("window excision merges intervals and counts separate spans") {
+    val p1 = Seq.tabulate(10)(j => f"alpha$j%04d").mkString("") // 90 chars
+    val p2 = Seq.tabulate(10)(j => f"omega$j%04d").mkString("")
+    val gap1 = Seq.tabulate(14)(j => f"gapOne$j%03d").mkString(" ")
+    val gap2 = Seq.tabulate(14)(j => f"midTwo$j%03d").mkString(" ")
+    val keeperDoc = p1 + "A" + gap1 + "B" + p2
+    val copier = ("z" * 17) + p1 + "C" + gap2 + "D" + p2 + " tail"
+    val out = Dedup.dedupWindows(
+        Seq((1L, keeperDoc), (2L, copier)).toDF("doc_id", "text"),
+        "text", "doc_id", windowLen = 40, selectBits = 0)
+      .select("doc_id", "n_removed", "n_spans").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 0L, 0L)))
+    assert(out(1) == ((2L, 180L, 2L)), s"two merged spans of 90 chars: ${out(1)}")
+  }
+
+  test("sampled window excision (selectBits > 0) removes flagged windows, keeper untouched") {
+    val passage = Seq.tabulate(40)(j => f"body$j%04d").mkString("") // 320 chars
+    val d1 = passage + " " + Seq.tabulate(9)(j => f"keepT$j%02d").mkString(" ")
+    val d2 = ("q" * 23) + passage + " " + Seq.tabulate(9)(j => f"copyT$j%02d").mkString(" ")
+    val out = Dedup.dedupWindows(
+        Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+        "text", "doc_id", windowLen = 40, selectBits = 4)
+      .select("doc_id", "n_removed", "cleaned").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(out(0)._2 == 0L && out(0)._3 == d1)
+    assert(out(1)._2 > 0L && out(1)._3.length == d2.length - out(1)._2,
+      s"sampled windows must be excised: ${out(1)._2}")
+  }
+
+  test("window_fp_positions agrees with window_fingerprints; excise_windows clamps and validates") {
+    val text = "some moderately long text for rolling fingerprints " * 4
+    val (fps, posFps) = Seq(Tuple1(text)).toDF("t")
+      .select(
+        graft.functions.WindowFingerprintsExpr.window_fingerprints($"t", 40, 2),
+        graft.functions.WindowFingerprintsExpr.window_fp_positions($"t", 40, 2))
+      .as[(Seq[Long], Seq[(Int, Long)])].head()
+    assert(posFps.map(_._2) == fps, "fingerprint streams must be identical")
+    assert(posFps.map(_._1) == posFps.map(_._1).sorted)
+    assert(posFps.forall { case (p, _) => p >= 0 && p <= text.length - 40 })
+    // excision: overlap + tail clamp
+    def excise(t: String, poss: Seq[Int], w: Int): String =
+      Seq((t, poss)).toDF("t", "p")
+        .select(graft.functions.ExciseWindowsExpr.excise_windows($"t", $"p", w))
+        .as[String].head()
+    assert(excise("abcdefghij", Seq(2, 4), 3) == "abhij") // [2,5)∪[4,7) = [2,7)
+    assert(excise("abcdefghij", Seq(8), 5) == "abcdefgh") // tail clamp
+    assert(excise("abcdefghij", Seq.empty, 3) == "abcdefghij")
+    intercept[Exception] {
+      excise("abcdefghij", Seq(4, 2), 3) // unsorted must be rejected
+    }
+  }
+
   test("line dedup: first occurrence kept, blanks untouched, within-file repeats need cross-file support") {
     val a = Seq("// Copyright Acme", "import os", "unique a1", "import os", "", "   ").mkString("\n")
     val b = Seq("// Copyright Acme", "import os", "unique b1").mkString("\n")

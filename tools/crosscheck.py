@@ -285,6 +285,33 @@ def q64(docs):
                    a3, c3, len(k3), sum(k3), len(mins), i64(mins[-1]))]
 
 
+def q65(docs):
+    """Mirror of SparkEntry q65: unaligned-substring removal with
+    reconstruction — planted copiers embed each doc_id%7==0 doc's first
+    160 chars behind a 43-char prefix; dedup_windows (full replay of
+    Dedup.dedupWindows at selectBits=0) must excise the shared passages
+    and the xor digest pins every rebuilt document."""
+    import hashlib
+    from graftcheck.hashes import spark_xxhash64, i64, M64
+    base = [(d[0], d[1]) for d in docs]
+    copiers = [(i + 4000000, "#" * 42 + " " + t[:160] + " qq7tail")
+               for i, t in base if i % 7 == 0 and len(t) >= 200]
+    res = dedup.dedup_windows(base + copiers, window_len=40, select_bits=0)
+    groups = {}
+    for i, (nc, nr, ns, cleaned) in res.items():
+        g = groups.setdefault(i >= 4000000, [0, 0, 0, 0, 0])
+        g[0] += 1
+        g[1] += nc
+        g[2] += nr
+        g[3] += ns
+        sha = hashlib.sha256(cleaned.encode()).hexdigest()
+        g[4] ^= spark_xxhash64([i, sha]) & M64
+    cols = ["is_copier", "n_docs", "sum_chars", "sum_removed", "sum_spans",
+            "digest"]
+    return cols, [(k, g[0], g[1], g[2], g[3], i64(g[4]))
+                  for k, g in sorted(groups.items())]
+
+
 def q54(docs):
     """Mirror of SparkEntry q54: LSH candidates -> exact char-shingle
     Jaccard verify at >= 0.8 over docs + planted zz9 variants."""
@@ -732,6 +759,7 @@ def main():
         "q49_incremental_dedup": lambda: q49(docs),
         "q53_store_lifecycle": lambda: q53(docs),
         "q64_store_compaction": lambda: q64(docs),
+        "q65_window_excise": lambda: q65(docs),
         "q54_verified_neardups": lambda: q54(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),

@@ -81,6 +81,79 @@ def window_fingerprints(text, window_len, select_bits):
     return out
 
 
+def window_fp_positions(text, window_len, select_bits):
+    """window_fingerprints WITH positions: [(pos, fp)] — mirrors
+    graft.functions.WindowFingerprintsExpr.computeWithPositions (same
+    BMP-only contract: Python code points == Java chars)."""
+    n = len(text)
+    if n < window_len:
+        return []
+    base = 1000003
+    mask = (1 << select_bits) - 1
+    pw = pow(base, window_len - 1, 1 << 64)
+    h = 0
+    for i in range(window_len):
+        h = (h * base + ord(text[i])) & M64
+    out = []
+    fp = splitmix64(h)
+    if fp & mask == 0:
+        out.append((0, fp))
+    for i in range(window_len, n):
+        h = ((h - ord(text[i - window_len]) * pw) * base + ord(text[i])) & M64
+        fp = splitmix64(h)
+        if fp & mask == 0:
+            out.append((i - window_len + 1, fp))
+    return out
+
+
+def excise_windows(text, positions, window_len):
+    """Remove merged [p, p+window_len) intervals (positions sorted asc) —
+    mirrors graft.functions.ExciseWindowsExpr.compute."""
+    if not positions:
+        return text
+    out = []
+    cur = 0
+    for p in positions:
+        s = max(p, cur)
+        e = min(p + window_len, len(text))
+        if s < e:
+            if cur < s:
+                out.append(text[cur:s])
+            cur = e
+    out.append(text[cur:])
+    return "".join(out)
+
+
+def dedup_windows(docs, window_len=40, select_bits=4):
+    """Full replay of graft.ops.Dedup.dedupWindows over [(id, text)]:
+    → {id: (n_chars, n_removed, n_spans, cleaned)}."""
+    occ = []  # (fp, id, pos)
+    for i, t in docs:
+        for pos, fp in window_fp_positions(t, window_len, select_bits):
+            occ.append((fp, i, pos))
+    groups = {}
+    for fp, i, pos in occ:
+        groups.setdefault(fp, []).append((i, pos))
+    keepers = {fp: min(g) for fp, g in groups.items() if len(g) > 1}
+    removals = {}
+    for fp, keep in keepers.items():
+        for i, pos in groups[fp]:
+            if (i, pos) != keep:
+                removals.setdefault(i, []).append(pos)
+    out = {}
+    for i, t in docs:
+        poss = sorted(removals.get(i, []))
+        cleaned = excise_windows(t, poss, window_len)
+        n_spans = 0
+        end = -1
+        for p in poss:
+            if p > end:
+                n_spans += 1
+            end = p + window_len
+        out[i] = (len(t), len(t) - len(cleaned), n_spans, cleaned)
+    return out
+
+
 def band_buckets(sig):
     """[(band, bucketKey)] — key is Spark hash() of the 4-long slice."""
     return [(b, spark_hash_longs(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]))

@@ -103,6 +103,14 @@ def main():
     assert H.i64(dedup.simhash64(fox)) == g["simhash_fox"]
     checks += 2
 
+    if "window_fp_positions_sel3" in g:  # positions variant + excision
+        wf_text = "The quick brown fox jumps over the lazy dog 0123456789 éü中文 end."
+        got = [[p, f] for p, f in dedup.window_fp_positions(wf_text, 7, 3)]
+        assert got == g["window_fp_positions_sel3"], "window_fp_positions"
+        assert dedup.excise_windows(wf_text, [3, 9, 40, 60], 7) == \
+            g["excise_3_9_40_60_w7"], "excise_windows"
+        checks += 2
+
     if "window_fps_all" in g:  # native WindowFingerprintsExpr vs the port
         wf_text = "The quick brown fox jumps over the lazy dog 0123456789 éü中文 end."
         assert dedup.window_fingerprints(wf_text, 7, 0) == g["window_fps_all"]
