@@ -279,6 +279,7 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(expr("cast(rint(dsir_weight * 1e6) as bigint)")).as("sum_w_micro"),
+          sum(expr("cast(rint(dsir_weight_norm * 1e6) as bigint)")).as("sum_wn_micro"),
           sum(when(col("dsir_weight") > 0.0, 1L).otherwise(0L)).as("n_positive"),
           sum(col("dsir_tokens").cast("long")).as("n_tokens"))
     }),

@@ -100,10 +100,13 @@ object Dsir {
     }
   }
 
-  /** Adds `dsir_weight` (the per-doc log importance weight) and
-    * `dsir_tokens` to `raw`, scoring against the `target` sample. Blank
-    * docs get weight 0. Both count aggregations run here; the ratio table
-    * ships as a broadcast.
+  /** Adds `dsir_weight` (the per-doc log importance weight),
+    * `dsir_tokens`, and `dsir_weight_norm` (= weight / tokens, 0.0 for
+    * blank docs — the PER-TOKEN weight that removes the length bias of
+    * the raw sum: a long mediocre doc accumulates more raw weight than a
+    * short strongly-targeted one) to `raw`, scoring against the `target`
+    * sample. Both count aggregations run here; the ratio table ships as a
+    * broadcast.
     */
   def withImportanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
       nBuckets: Int = DefaultBuckets): DataFrame = {
@@ -123,15 +126,22 @@ object Dsir {
     raw.withColumn("__s", scoreUdf(col(textCol)))
       .withColumn("dsir_weight", col("__s._1"))
       .withColumn("dsir_tokens", col("__s._2"))
+      .withColumn("dsir_weight_norm",
+        when(col("__s._2") > 0, col("__s._1") / col("__s._2"))
+          .otherwise(lit(0.0)))
       .drop("__s")
   }
 
   /** Keep docs whose weight clears `minWeight` — a pure codegen'd filter
-    * over the scored frame (use per-token normalization upstream if doc
-    * lengths vary wildly).
+    * over the scored frame. `normalized = true` thresholds the per-token
+    * `dsir_weight_norm` instead of the raw sum (the right dial when doc
+    * lengths vary wildly — spec-pinned to recover planted length-skewed
+    * positives the raw threshold misses).
     */
-  def selectByThreshold(scored: DataFrame, minWeight: Double): DataFrame =
-    scored.filter(col("dsir_weight") > minWeight)
+  def selectByThreshold(scored: DataFrame, minWeight: Double,
+      normalized: Boolean = false): DataFrame =
+    scored.filter(
+      col(if (normalized) "dsir_weight_norm" else "dsir_weight") > minWeight)
 
   /** Global top-k by (weight desc, id asc) — plans as
     * TakeOrderedAndProject: per-partition heaps of size k, never a full
@@ -139,4 +149,34 @@ object Dsir {
     */
   def selectTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored.orderBy(col("dsir_weight").desc, col(idCol).asc).limit(k)
+
+  /** Per-source top-k (the paper's PROPORTIONAL selection: a fixed budget
+    * per domain instead of one global cut that the dominant domain eats).
+    * Deterministic order (weight desc, id asc); `normalized` picks the
+    * per-token weight.
+    *
+    * Scale shape — TWO window phases, neither skew-prone: phase 1 ranks
+    * within (source, physical-partition) — the partition id spreads a hot
+    * source uniformly, and every row of the TRUE per-source top-k survives
+    * its own subgroup's cut (a global top-k row is top-k in any subgroup
+    * containing it), so phase 2 sees ≤ k × nPartitions rows per source and
+    * computes the exact final set. A single window partitioned by source
+    * would concentrate the dominant domain (often >40% of a web corpus) on
+    * one sort task.
+    */
+  def selectTopKPerSource(scored: DataFrame, idCol: String, sourceCol: String,
+      k: Int, normalized: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wcol = if (normalized) "dsir_weight_norm" else "dsir_weight"
+    val phase1 = Window.partitionBy(col(sourceCol), col("__pid"))
+      .orderBy(col(wcol).desc, col(idCol).asc)
+    val phase2 = Window.partitionBy(col(sourceCol))
+      .orderBy(col(wcol).desc, col(idCol).asc)
+    scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__r1", row_number().over(phase1))
+      .filter(col("__r1") <= k)
+      .withColumn("__r2", row_number().over(phase2))
+      .filter(col("__r2") <= k)
+      .drop("__pid", "__r1", "__r2")
+  }
 }

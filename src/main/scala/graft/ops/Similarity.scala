@@ -257,6 +257,8 @@ object Similarity {
     * N / 2^planesPerTable, so planesPerTable must grow with N (aim for
     * width ≲ 10²; at the 8-plane default a 10⁶-vector corpus puts every
     * bucket over the width cap — nothing pairs, and nothing useful runs).
+    * [[embeddingNearDupsAuto]] derives the plane count from a corpus
+    * count so the footgun needs no manual tuning.
     * Candidates stay id-only through the cross-table dedupe; vectors join
     * back only for the exact verify (measured: the vector-carrying pair
     * shuffle spilled >90 GB at 1M vectors where this shape moves 17.5 GB —
@@ -294,6 +296,40 @@ object Similarity {
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** planesPerTable sized from the corpus: expected bucket width is
+    * N / 2^planes, so planes = ceil(log2(N / targetWidth)), clamped to
+    * [4, 32] — the bucket key packs the sign pattern into the low 32 bits,
+    * and past 2^32 buckets the residual expected width (N / 2^32) is
+    * absorbed by the width cap.
+    */
+  def derivePlanesPerTable(n: Long, targetWidth: Int = 100): Int = {
+    require(targetWidth >= 1, s"targetWidth must be >= 1: $targetWidth")
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetWidth)) / math.log(2.0)).toInt
+    math.min(32, math.max(4, raw))
+  }
+
+  /** [[embeddingNearDups]] with the bucket space SELF-SIZED from a corpus
+    * count (one cheap count job — on a parquet-backed table it reads
+    * footers only): the 8-plane default does no useful work at 10⁶ vectors
+    * because every bucket blows the width cap, and hand-tuning the
+    * parameter law was the documented footgun. `targetWidth ≲ 10²` keeps
+    * per-bucket pair cost bounded while leaving enough collisions to
+    * propose candidates.
+    */
+  def embeddingNearDupsAuto(
+      emb: DataFrame, minCosine: Double,
+      nTables: Int = 8, targetWidth: Int = 100,
+      maxBucketWidth: Int = graft.ops.Dedup.DefaultMaxBucketWidth,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val n = emb.count()
+    val planes = derivePlanesPerTable(n, targetWidth)
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity").info(
+      s"embeddingNearDupsAuto: n=$n targetWidth=$targetWidth -> planesPerTable=$planes")
+    embeddingNearDups(emb, minCosine, nTables, planes, maxBucketWidth, idCol, vecCol)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
@@ -360,7 +396,8 @@ object Similarity {
       nProbe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       splitOversized: Boolean = true, maxSplitDepth: Int = 4,
-      subCentroids: Int = 8, subSampleSize: Int = 512): DataFrame = {
+      subCentroids: Int = 8, subSampleSize: Int = 512,
+      maxSampleVectorsPerDepth: Long = MaxSampleVectorsPerDepth): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val spark = emb.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
@@ -374,7 +411,7 @@ object Similarity {
     val cells =
       if (!splitOversized) cells0
       else splitOversizedCells(cells0, maxCellWidth, maxSplitDepth,
-        subCentroids, subSampleSize, idCol, vecCol)
+        subCentroids, subSampleSize, idCol, vecCol, maxSampleVectorsPerDepth)
     // cell width via window count over the same shuffle the self-join reuses
     val w = Window.partitionBy(col("cell"))
     val withW = cells.withColumn("__w", count(lit(1)).over(w))
@@ -407,30 +444,54 @@ object Similarity {
     emb.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Per-depth bound on the batched sample collect: with badly sized
+    * nCentroids the number of oversized cells can be large, and
+    * #oversized × subSampleSize vectors land on the driver in one job —
+    * the only driver-side collect in the op whose size isn't structurally
+    * tiny. At most `MaxSampleVectorsPerDepth / subSampleSize` cells are
+    * split per depth, WIDEST FIRST (deterministic (width desc, cell asc)
+    * order); truncation is logged and the deferred cells are retried at
+    * the next depth, so the guard trades rounds — never correctness (a
+    * cell left oversized when depth runs out falls to the caller's
+    * representative fallback, same as any unsplittable cell).
+    */
+  val MaxSampleVectorsPerDepth: Long = 1L << 18
+
   /** Iterative oversized-cell splitting: per depth, ONE tiny width
     * aggregation finds cells past the cap, ONE batched sampling job pulls
     * a hash-spread sample per oversized cell (window top-n — bounded by
-    * #oversized · subSampleSize rows), sub-centroids train driver-side
-    * (k-means over ≤ subSampleSize vectors per cell) and broadcast back,
-    * and members re-assign to `cell.sub` path keys in one map pass. Cells
-    * whose sub-centroids collapse (identical sample — nothing separates)
-    * stop splitting and are left for the caller's representative fallback.
-    * Each round is localCheckpoint-cut so lineage stays flat. Everything
-    * is a pure function of (ids, vectors) — deterministic at any
-    * parallelism.
+    * #oversized · subSampleSize rows and by [[MaxSampleVectorsPerDepth]],
+    * widest-first with a warning when the bound truncates), sub-centroids
+    * train driver-side (k-means over ≤ subSampleSize vectors per cell) and
+    * broadcast back, and members re-assign to `cell.sub` path keys in one
+    * map pass. Cells whose sub-centroids collapse (identical sample —
+    * nothing separates) stop splitting and are left for the caller's
+    * representative fallback. Each round is localCheckpoint-cut so lineage
+    * stays flat. Everything is a pure function of (ids, vectors) —
+    * deterministic at any parallelism.
     */
   private def splitOversizedCells(cells0: DataFrame, maxCellWidth: Int,
       maxSplitDepth: Int, subCentroids: Int, subSampleSize: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String,
+      maxSampleVectors: Long = MaxSampleVectorsPerDepth): DataFrame = {
     val spark = cells0.sparkSession
     var cells = cells0
     var depth = 0
     var done = Set.empty[String] // cells that refused to split (degenerate)
     var continue = maxSplitDepth > 0
+    val cellCap = math.max(1L, maxSampleVectors / subSampleSize).toInt
     while (continue) {
-      val widths = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val allOver = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .filter(col("n") > maxCellWidth)
-        .collect().map(r => r.getString(0)).filterNot(done).toSet
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .filterNot { case (c, _) => done(c) }
+      val widths = allOver.sortBy { case (c, n) => (-n, c) }
+        .take(cellCap).map(_._1).toSet
+      if (widths.size < allOver.length)
+        org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity").warn(
+          s"splitOversizedCells: depth $depth splits ${widths.size} of " +
+            s"${allOver.length} oversized cells (driver sample bound " +
+            s"$maxSampleVectors vectors); the rest retry next depth")
       if (widths.isEmpty || depth >= maxSplitDepth) continue = false
       else {
         val overB = spark.sparkContext.broadcast(widths)

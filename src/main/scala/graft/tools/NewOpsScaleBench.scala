@@ -201,6 +201,20 @@ object NewOpsScaleBench {
     }
 
     // ------------------------------------------------------------------
+    // Self-sizing embedding LSH at nVecs: NO manual planesPerTable — the
+    // op derives it from the corpus count (round 4 measured the 8-plane
+    // default doing "no useful work" at 1M vectors: every bucket blew the
+    // width cap). Planted recall is the did-it-work signal.
+    // ------------------------------------------------------------------
+    measure("embedding_neardup_auto", nAll) {
+      val planes = Similarity.derivePlanesPerTable(nAll)
+      val pairs = Similarity.embeddingNearDupsAuto(vecs, minCosine = 0.95)
+      val planted = pairs
+        .filter(col("b") - col("a") === lit(2L * nVecs)).count()
+      s""""derivedPlanes":$planes,"plantedPairs":$planted,"plantedRecall":${planted.toDouble / nPlantedVecs}"""
+    }
+
+    // ------------------------------------------------------------------
     // As-of join + sessionization over an nEvents stream, 100k users
     // ------------------------------------------------------------------
     val eventsPath = s"/tmp/graft-newops-events-$nEvents"

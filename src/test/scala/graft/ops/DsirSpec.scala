@@ -84,4 +84,67 @@ class DsirSpec extends AnyFunSuite {
     assert(Dsir.selectByThreshold(scored, 0.0).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("normalized weights recover planted length-skewed positives the raw sum misses") {
+    // doc 9100 (LONG, mildly on-target): 60 quantum/flux tokens whose
+    // per-token ratio is small-positive — the raw SUM is large because
+    // length accumulates it. doc 9200 (SHORT, dense): two "capacitor"
+    // tokens, rare in raw but frequent in target → the highest per-token
+    // ratio in the corpus, yet the raw sum stays small. The raw top-1
+    // picks the long doc; the normalized ordering (and threshold) ranks
+    // the dense short positive first — the exact bias the docstring used
+    // to tell users to fix themselves.
+    val bigTarget = (1L to 50L).map(i => (i, "quantum flux")) ++
+      (51L to 80L).map(i => (i, "capacitor"))
+    val background = (1000L to 1199L).map(i => (i, "ledger overdue invoice payment"))
+    val longMild = (9100L, Seq.fill(30)("quantum flux").mkString(" "))
+    val shortDense = (9200L, "capacitor capacitor")
+    val raw = (bigTarget ++ background :+ longMild :+ shortDense :+ (9300L, ""))
+      .toDF("doc_id", "text")
+    val scored = Dsir.withImportanceWeights(raw, bigTarget.toDF("doc_id", "text"), "text")
+    val byId = scored
+      .select("doc_id", "dsir_weight", "dsir_tokens", "dsir_weight_norm")
+      .as[(Long, Double, Int, Double)].collect().map(r => r._1 -> r).toMap
+    // column law: norm == weight / tokens (0 for blank), bit-for-bit
+    byId.values.foreach { case (_, w, n, wn) =>
+      assert(wn == (if (n > 0) w / n else 0.0))
+    }
+    assert(byId(9100L)._2 > byId(9200L)._2 && byId(9200L)._2 > 0.0,
+      s"fixture must plant the skew: ${byId(9100L)} vs ${byId(9200L)}")
+    assert(byId(9200L)._4 > byId(9100L)._4,
+      "per-token weight must rank the dense short positive first")
+    // raw top-1 picks the long doc; the normalized threshold recovers the
+    // short positive and drops the long mild one
+    assert(Dsir.selectTopK(scored, "doc_id", 1)
+      .select("doc_id").as[Long].head() == 9100L)
+    val keptNorm = Dsir.selectByThreshold(scored, byId(9100L)._4, normalized = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNorm.contains(9200L) && !keptNorm.contains(9100L), keptNorm.toString)
+  }
+
+  test("selectTopKPerSource: exact per-source budget, equals the naive single-window form") {
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 300L).map { i =>
+      val src = s"src${i % 3}"
+      val onTarget = rng.nextInt(4) // 0..3 target tokens
+      val text = (Seq.fill(onTarget)("quantum flux") ++
+        Seq.fill(4 - onTarget)(s"ledger overdue x$i")).mkString(" ")
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val scored = Dsir.withImportanceWeights(
+      docs.repartition(7), target.toDF("doc_id", "text"), "text")
+    val got = Dsir.selectTopKPerSource(scored, "doc_id", "source", k = 5)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 5), "k per source")
+    // naive reference: one global window per source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("dsir_weight").desc, col("doc_id").asc)
+    val want = scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= 5)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(got.toSet == want, "two-phase top-k must equal the single-window form")
+    // normalized variant respects the per-token ordering
+    val gotN = Dsir.selectTopKPerSource(scored, "doc_id", "source", k = 3,
+      normalized = true).select("source", "doc_id").as[(String, Long)].collect()
+    assert(gotN.groupBy(_._1).forall(_._2.length == 3))
+  }
 }

@@ -334,6 +334,64 @@ class OpsSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => assert(b - a == 1000L, s"spurious pair ($a,$b)") }
   }
 
+  test("derivePlanesPerTable follows the parameter law; auto-sized LSH recovers planted pairs") {
+    import Similarity.derivePlanesPerTable
+    // planes = ceil(log2(N / targetWidth)), clamped [4, 32]
+    assert(derivePlanesPerTable(100L) == 4) // N == targetWidth → floor
+    assert(derivePlanesPerTable(1000L) == 4)
+    assert(derivePlanesPerTable(100000L) == 10)
+    assert(derivePlanesPerTable(1000000L) == 14) // the 1M footgun: 8 was useless
+    assert(derivePlanesPerTable(1000000000000L) == 32) // 10^12 → clamp
+    assert(derivePlanesPerTable(0L) == 4)
+    assert(derivePlanesPerTable(1 << 20, targetWidth = 1024) == 10)
+    // monotone in N
+    val ps = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(derivePlanesPerTable(_))
+    assert(ps == ps.sorted)
+    // end-to-end, no manual tuning: planted near-identical vectors recovered
+    val rng = new java.util.SplittableRandom(23L)
+    val baseRows = (0L until 50L).map(i => (i, Array.fill(16)(rng.nextDouble().toFloat * 2 - 1)))
+    val rows = baseRows ++ baseRows.map { case (i, v) =>
+      (i + 1000L, v.dropRight(1) :+ 0.0f)
+    }
+    val found = Similarity.embeddingNearDupsAuto(
+        rows.toDF("vec_id", "embedding"), minCosine = 0.9)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert((0L until 50L).count(i => found.contains((i, i + 1000L))) >= 45,
+      s"auto sizing must still propose collisions at small N: $found")
+  }
+
+  test("splitOversizedCells respects the per-depth driver sample bound (many oversized cells)") {
+    // 30 well-separated clouds of 12 near-identical vectors; nCentroids=1
+    // puts everything in ONE cell, the first split separates the clouds
+    // into ~30 oversized-free sub-cells... but with maxCellWidth=6 each
+    // cloud-cell (width 12) is ALSO oversized, so later depths must split
+    // many cells at once — bounded to 2 cells per depth by the tiny
+    // maxSampleVectorsPerDepth. The op must complete and still dedup
+    // inside every cloud (bounded rounds, then the rep fallback catches
+    // identical mass the budget left unsplit).
+    val rng = new scala.util.Random(99)
+    val members = (0 until 30).flatMap { c =>
+      val base = Array.tabulate(8)(d => if (d == c % 8) 10.0f else (c / 8).toFloat)
+      (0 until 12).map { j =>
+        (c * 100L + j,
+          base.map(x => x + (rng.nextFloat() - 0.5f) * 0.01f))
+      }
+    }
+    val emb = members.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupWithCentroids(emb, minCosine = 0.999,
+        centroids = Similarity.trainIvfCentroids(emb, 1, 500),
+        maxCellWidth = 6, subCentroids = 4, subSampleSize = 16,
+        maxSampleVectorsPerDepth = 32L) // → 2 cells split per depth
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.size < members.size / 2,
+      s"near-identical cloud members must still drop under the bound: ${kept.size}")
+    (0 until 30).foreach { c =>
+      assert(members.map(_._1).filter(_ / 100 == c).exists(kept.contains),
+        s"cloud $c must keep a representative")
+    }
+  }
+
   test("simhash near-dup join recovers planted pairs without a cross join") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val variant = base + " extramarker"

@@ -85,14 +85,17 @@ def q58(docs):
     groups = {}
     for _id, text, _lang, src, _n in docs:
         w, n_tok = dsir.weight(text, ratios)
-        g = groups.setdefault(src, [0, 0, 0, 0])
+        wn = w / n_tok if n_tok > 0 else 0.0  # dsir_weight_norm
+        g = groups.setdefault(src, [0, 0, 0, 0, 0])
         g[0] += 1
         g[1] += int(round(w * 1e6))
+        g[4] += int(round(wn * 1e6))
         if w > 0.0:
             g[2] += 1
         g[3] += n_tok
-    cols = ["source", "n_docs", "sum_w_micro", "n_positive", "n_tokens"]
-    return cols, [(s, g[0], g[1], g[2], g[3]) for s, g in groups.items()]
+    cols = ["source", "n_docs", "sum_w_micro", "sum_wn_micro", "n_positive",
+            "n_tokens"]
+    return cols, [(s, g[0], g[1], g[4], g[2], g[3]) for s, g in groups.items()]
 
 
 def q59(docs):
