@@ -1,0 +1,132 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Size-capped `collect_list` WITH the true group count — the one-pass
+  * answer to "give me every member of this bucket unless it is over the
+  * width cap", which the LSH candidate generation previously paid TWO
+  * corpus passes for (a width aggregation + an anti-join feeding a second
+  * pass that re-collected members).
+  *
+  * Returns `struct<n: bigint, items: array<childType>>`: `n` is the exact
+  * group count (always — counting never stops), `items` holds every
+  * member iff `n <= cap` and is EMPTY otherwise (an over-cap group's
+  * membership is, by contract, about to be discarded — materialising it
+  * would be exactly the unbounded agg state this aggregate exists to
+  * avoid). Partial-aggregate state is therefore ≤ cap elements per group
+  * per partition and map-side combines like any partial agg — a
+  * degenerate hot bucket costs k·elementSize bytes, not its full
+  * membership on one reducer.
+  *
+  * Item ORDER is partition-order-dependent (like collect_list); callers
+  * sort (`sort_array`) before any order-sensitive use. The (n, item SET)
+  * is a pure function of the group.
+  */
+case class BoundedCollectAgg(
+    child: Expression,
+    cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedCollectAgg.Buffer]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (cap <= 0) TypeCheckResult.TypeCheckFailure(s"bounded_collect cap must be > 0: $cap")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("items", ArrayType(child.dataType, containsNull = false))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_collect"
+
+  override def createAggregationBuffer(): BoundedCollectAgg.Buffer =
+    new BoundedCollectAgg.Buffer(0L, new scala.collection.mutable.ArrayBuffer[Any])
+
+  override def update(buf: BoundedCollectAgg.Buffer, input: InternalRow): BoundedCollectAgg.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1L
+      if (buf.items.length < cap) buf.items += InternalRow.copyValue(v)
+    }
+    buf
+  }
+
+  override def merge(buf: BoundedCollectAgg.Buffer, other: BoundedCollectAgg.Buffer): BoundedCollectAgg.Buffer = {
+    buf.n += other.n
+    val it = other.items.iterator
+    while (buf.items.length < cap && it.hasNext) buf.items += it.next()
+    buf
+  }
+
+  override def eval(buf: BoundedCollectAgg.Buffer): Any = {
+    val items =
+      if (buf.n <= cap) new GenericArrayData(buf.items.toArray)
+      else new GenericArrayData(Array.empty[Any])
+    new GenericInternalRow(Array[Any](buf.n, items))
+  }
+
+  // generic element (de)serialization through a one-column UnsafeProjection
+  // — works for any child type, same technique as Spark's own Collect
+  @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
+  @transient private lazy val rowBuf = new UnsafeRow(1)
+
+  override def serialize(buf: BoundedCollectAgg.Buffer): Array[Byte] = {
+    val itemBytes = buf.items.map { v =>
+      // copy(): the projection REUSES its result buffer across calls and
+      // getBytes returns the backing array uncopied — without this every
+      // serialized element aliases the last value written
+      proj(InternalRow(v)).copy().getBytes
+    }
+    val total = 8 + 4 + itemBytes.map(4 + _.length).sum
+    val bb = ByteBuffer.allocate(total)
+    bb.putLong(buf.n)
+    bb.putInt(itemBytes.length)
+    itemBytes.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedCollectAgg.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    buf.n = bb.getLong
+    val k = bb.getInt
+    var i = 0
+    while (i < k) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      rowBuf.pointTo(arr, len)
+      buf.items += InternalRow.copyValue(rowBuf.get(0, child.dataType))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedCollectAgg =
+    copy(child = newChild)
+}
+
+object BoundedCollectAgg {
+
+  final class Buffer(var n: Long, val items: scala.collection.mutable.ArrayBuffer[Any])
+
+  /** Column helper: `groupBy(...).agg(bounded_collect(col, cap))`. */
+  def bounded_collect(c: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedCollectAgg(ColumnBridge.expression(c), cap).toAggregateExpression())
+}

@@ -179,52 +179,45 @@ object Dedup {
 
   /** Near-duplicate candidate pairs (a < b) from LSH band collisions.
     *
-    * Scale shape (round 4): bucket members are COLLECTED per (band,
-    * bucket) key and pairs explode row-locally — the bucket rows are
-    * shuffled exactly ONCE. The round-3 form (window width + bucket
-    * self-join) planned the bucket branch twice, and NEITHER planner
-    * deduplicated the twin subtrees at runtime (measured: 2× the MinHash
-    * pass on an unpersisted plan and 2× the bucket shuffle, AQE on or
-    * off — BENCH.md round 4). The width cap comes from a separate tiny
-    * aggregation (map-side partial combine: the shuffle moves one row
-    * per distinct (band,bucket) per partition, not per doc) whose
-    * over-cap keys broadcast-anti-join the bucket rows; per-bucket state
-    * in the collect is ≤ maxBucketWidth ids ≈ 2 KB. Dropped-row/width
-    * stats ride the width aggregation as an `observe()` metric (zero
-    * extra jobs) and are logged on action completion.
-    *
-    * NOTE the width branch and the main branch are separate plan
-    * references to `sigs` — with unpersisted signatures both recompute
-    * the signature pass (2×, same as the round-3 shape); the documented
-    * scale discipline stands: persist the signature table (FromSigs
-    * callers) so both branches read the cache.
+    * Scale shape (round 5): bucket members are collected AND width-capped
+    * in ONE aggregation over ONE shuffle of the bucket rows
+    * (`bounded_collect` — see [[candidatePairsFromSigs]]); the signature
+    * pass is referenced exactly once, so even the UNPERSISTED convenience
+    * form computes MinHash once. History: the round-3 form (window width
+    * + bucket self-join) planned the bucket branch twice with no runtime
+    * dedup (measured 2× the MinHash pass — BENCH.md round 4); round 4's
+    * width-agg + anti-join + collect halved that but still read the
+    * signature table twice. Dropped-row/width stats ride the aggregation
+    * as an `observe()` metric (zero extra jobs), logged on completion.
     */
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame =
     candidatePairsFromSigs(signatures(df, textCol, idCol), idCol, maxBucketWidth)
 
-  /** Candidate pairs from a (persisted) signature table. */
+  /** Candidate pairs from a (persisted) signature table — ONE pass, ONE
+    * shuffle: `bounded_collect` (a custom size-capped collect aggregate)
+    * returns each bucket's exact width AND its full membership iff the
+    * width fits the cap, with ≤ cap elements of partial-agg state per
+    * (bucket × partition) — so the width filter and the member collection
+    * that round 4 split into two branches (a width agg + an anti-join
+    * feeding a second collect pass, i.e. two scans of the signature
+    * table) now ride a single aggregation. A degenerate hot bucket costs
+    * cap·8 B of agg state and its true width still reaches the observe()
+    * metrics; its membership is never materialised.
+    */
   def candidatePairsFromSigs(sigs: DataFrame, idCol: String,
       maxBucketWidth: Int = DefaultMaxBucketWidth): DataFrame = {
     installDropLogger(sigs.sparkSession)
-    val buckets = lshBucketsFromSigs(sigs, idCol)
-    val widths = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__w"))
-    val observed = widths.observe(
-      s"graft.lsh.buckets.${observeCounter.incrementAndGet()}",
-      sum(when(col("__w") > maxBucketWidth, col("__w")).otherwise(0L)).as("droppedRows"),
-      max(col("__w")).as("maxWidth"))
-    val oversized = observed.filter(col("__w") > maxBucketWidth)
-      .select(col("band"), col("bucket"))
-    // no broadcast hint: the over-cap key set is empty-to-tiny on real
-    // corpora and AQE's runtime stats pick the broadcast side; a forced
-    // hint would gamble on the pathological all-dup corpus where the set
-    // is large (measured elsewhere that AQE beats manual hints here)
-    buckets.join(oversized, Seq("band", "bucket"), "left_anti")
+    val grouped = lshBucketsFromSigs(sigs, idCol)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
-      .select(explode(pairCombinations(col("__ids"))).as("__p"))
+      .agg(graft.functions.BoundedCollectAgg
+        .bounded_collect(col(idCol), maxBucketWidth).as("__s"))
+    val observed = grouped.observe(
+      s"graft.lsh.buckets.${observeCounter.incrementAndGet()}",
+      sum(when(col("__s.n") > maxBucketWidth, col("__s.n")).otherwise(0L)).as("droppedRows"),
+      max(col("__s.n")).as("maxWidth"))
+    observed.filter(col("__s.n").between(2, maxBucketWidth))
+      .select(explode(pairCombinations(sort_array(col("__s.items")))).as("__p"))
       .select(col("__p.a").as("a"), col("__p.b").as("b"))
       .distinct()
   }
@@ -237,9 +230,9 @@ object Dedup {
     nearDupPairsFromSigs(signatures(df, textCol, idCol), idCol, minJaccard)
 
   /** Near-dup pairs from a signature table. PERSIST `sigs` at the call
-    * site: the plan references it four times (two bucket branches feeding
-    * the self-join, two sig joins for the estimate) — unpersisted, each
-    * reference recomputes the full signature pass.
+    * site: the plan references it three times (the bucket aggregation
+    * plus two sig joins for the estimate) — unpersisted, each reference
+    * recomputes the full signature pass.
     */
   def nearDupPairsFromSigs(sigs: DataFrame, idCol: String,
       minJaccard: Double = 0.7,
@@ -321,33 +314,31 @@ object Dedup {
     // a window: count().over(partitionBy(band,bucket)) has no map-side
     // partial aggregation, so a degenerate hot bucket — the exact
     // pathology the cap exists for — would concentrate its full membership
-    // on one sort task BEFORE the width filter can drop it. The hash agg
-    // collapses each partition's repeats first; the exchange carries at
-    // most one row per (partition, key). Same shape
-    // [[candidatePairsFromSigs]] got in round 4.
+    // on one sort task BEFORE the width filter can drop it.
     val bWidths = bBuckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__wb"))
     // a bucket with wb ≥ maxBucketWidth can never pass the combined cap
     // (corpus width ≥ 1 for any pair), so don't even probe it
     val probeKeys = bWidths.filter(col("__wb") < maxBucketWidth)
       .select("band", "bucket")
-    val cBuckets = lshBucketsFromSigs(corpusSigs, idCol)
-      .select(col("band"), col("bucket"), col(idCol).as("a"))
-    val cWidths = cBuckets.join(bc(probeKeys), Seq("band", "bucket"), "left_semi")
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__wc"))
-    // bucket keys whose COMBINED width fits the cap — batch-bounded tiny
-    val allowed = cWidths.join(bc(bWidths), Seq("band", "bucket"))
-      .filter(col("__wc") + col("__wb") <= maxBucketWidth)
-      .select("band", "bucket")
-    // corpus bucket rows are read twice (width pass + pair pass) — both
-    // map-only over the persisted signature table with broadcast-joined
-    // key sets, so the corpus is never shuffled; the FromSigs persist
-    // guidance applies to `batchSigs`/`corpusSigs` as documented above.
-    // The signature joins below are deliberately left to AQE, whose
-    // runtime stats pick the broadcast side — an explicit broadcast hint
-    // measured 5.6× SLOWER at 1M×200k (the forced exchange serializes the
-    // pair subplan) while saving only shuffle bytes (BENCH.md).
-    cBuckets.join(bc(allowed), Seq("band", "bucket"), "left_semi")
+    // ONE corpus pass: bounded_collect returns each probed bucket's exact
+    // corpus width and (iff within the cap) its members — cap-bounded agg
+    // state, no second scan, no window. The corpus is never shuffled when
+    // the batch broadcasts (the width/member exchange carries ≤ one
+    // cap-bounded row per probed bucket per partition).
+    val cAgg = lshBucketsFromSigs(corpusSigs, idCol)
+      .join(bc(probeKeys), Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.BoundedCollectAgg
+        .bounded_collect(col(idCol), maxBucketWidth).as("__s"))
+    // the candidate-pair table is batch-bounded; the signature joins
+    // below are deliberately left to AQE, whose runtime stats pick the
+    // broadcast side — an explicit broadcast hint measured 5.6× SLOWER at
+    // 1M×200k (the forced exchange serializes the pair subplan) while
+    // saving only shuffle bytes (BENCH.md).
+    cAgg.join(bc(bWidths), Seq("band", "bucket"))
+      .filter(col("__s.n") + col("__wb") <= maxBucketWidth)
+      .select(col("band"), col("bucket"), explode(col("__s.items")).as("a"))
       .join(bc(bBuckets), Seq("band", "bucket"))
       .select("a", "b").distinct()
       .join(corpusSigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sigA"), Seq("a"))
@@ -830,21 +821,18 @@ object Dedup {
     val buckets = withSim
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
-    // same one-shuffle shape as candidatePairsFromSigs (round 4): tiny
-    // width aggregation → over-cap keys anti-join → per-bucket member
-    // collect (≤ cap × 16 B) → row-local pair explosion. The simhash
-    // rides in the member struct, so the hamming check needs no join
-    // back; members sort by (id, simhash) = by id (ids unique), giving
-    // the same a < b pair orientation as the old self-join.
-    val widths = buckets.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__w"))
-    val oversized = widths.filter(col("__w") > maxBucketWidth)
-      .select(col("band"), col("key"))
-    buckets.join(oversized, Seq("band", "key"), "left_anti")
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash")))).as("__m"))
-      .filter(size(col("__m")) >= 2)
-      .select(explode(pairCombinations(col("__m"))).as("__p"))
+    // same ONE-pass shape as candidatePairsFromSigs (round 5):
+    // bounded_collect returns each band-bucket's exact width and (iff
+    // within the cap) its members in a single aggregation — cap-bounded
+    // agg state, no second scan of the simhash pass. The simhash rides in
+    // the member struct, so the hamming check needs no join back; members
+    // sort by (id, simhash) = by id (ids unique), giving the same a < b
+    // pair orientation as the old self-join.
+    buckets.groupBy(col("band"), col("key"))
+      .agg(graft.functions.BoundedCollectAgg.bounded_collect(
+        struct(col(idCol).as("id"), col("simhash")), maxBucketWidth).as("__s"))
+      .filter(col("__s.n").between(2, maxBucketWidth))
+      .select(explode(pairCombinations(sort_array(col("__s.items")))).as("__p"))
       .select(col("__p.a.id").as("a"), col("__p.b.id").as("b"),
         hamming(col("__p.a.simhash"), col("__p.b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -272,23 +272,23 @@ object Similarity {
   ): DataFrame = {
     val bUdf = lshBucketsUdf(nTables, planesPerTable)
     val buckets = emb.select(col(idCol), explode(bUdf(col(vecCol))).as("bucket"))
-    // one-shuffle ID-ONLY candidate generation (round 4, same shape as
-    // the text LSH): tiny width aggregation → over-cap keys anti-join →
-    // per-bucket member collect (≤ cap × 8 B) → row-local pair explosion.
-    // Candidates stay 16-byte (a, b) rows through the cross-table
-    // dedupe — an earlier variant carried both vectors through it and a
-    // measured worst case (1.1M random vectors, 13 planes: ~10² members
-    // per bucket, OR-amplified over 8 tables) spilled 67 GB on the pair
-    // shuffle; with id-only pairs the same regime shuffles GB-order.
-    // The exact-cosine verify joins the two vectors back afterwards
-    // (AQE broadcasts the pair table when small — the common case).
-    val widths = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("__w"))
-    val oversized = widths.filter(col("__w") > maxBucketWidth).select(col("bucket"))
-    buckets.join(oversized, Seq("bucket"), "left_anti")
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
-      .select(explode(graft.ops.Dedup.pairCombinations(col("__ids"))).as("__p"))
+    // one-PASS id-only candidate generation (round 5, same shape as the
+    // text LSH): bounded_collect returns each bucket's exact width and
+    // (iff within the cap) its members in one aggregation — cap-bounded
+    // agg state, the projection pass runs once. Candidates stay 16-byte
+    // (a, b) rows through the cross-table dedupe — an earlier variant
+    // carried both vectors through it and a measured worst case (1.1M
+    // random vectors, 13 planes: ~10² members per bucket, OR-amplified
+    // over 8 tables) spilled 67 GB on the pair shuffle; with id-only
+    // pairs the same regime shuffles GB-order. The exact-cosine verify
+    // joins the two vectors back afterwards (AQE broadcasts the pair
+    // table when small — the common case).
+    buckets.groupBy(col("bucket"))
+      .agg(graft.functions.BoundedCollectAgg
+        .bounded_collect(col(idCol), maxBucketWidth).as("__s"))
+      .filter(col("__s.n").between(2, maxBucketWidth))
+      .select(explode(graft.ops.Dedup.pairCombinations(
+        sort_array(col("__s.items")))).as("__p"))
       .select(col("__p.a").as("a"), col("__p.b").as("b"))
       .dropDuplicates("a", "b")
       .join(emb.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))

@@ -14,6 +14,36 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("bounded_collect: exact counts always, full membership iff within cap") {
+    import BoundedCollectAgg.bounded_collect
+    // 3 groups: width 1, width == cap, width > cap; many partitions so
+    // merge paths run; a null element must be skipped like collect_list
+    val rows = (1L to 5L).map(i => ("a", Option(i))) ++
+      Seq(("a", Option.empty[Long])) ++
+      (1L to 8L).map(i => ("b", Option(i))) ++
+      Seq(("c", Option(99L)))
+    val got = rows.toDF("g", "v").repartition(13)
+      .groupBy($"g").agg(bounded_collect($"v", 5).as("s"))
+      .select($"g", $"s.n", sort_array($"s.items"))
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("a") == ((5L, Seq(1L, 2L, 3L, 4L, 5L))), "cap boundary keeps all")
+    assert(got("b") == ((8L, Seq.empty)), "over-cap group: true count, EMPTY items")
+    assert(got("c") == ((1L, Seq(99L))))
+    // parallelism independence of (n, item set)
+    val got1 = rows.toDF("g", "v").coalesce(1)
+      .groupBy($"g").agg(bounded_collect($"v", 5).as("s"))
+      .select($"g", $"s.n", sort_array($"s.items"))
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got1 == got)
+    // generic element types: strings and structs survive the serde path
+    val st = Seq(("g", "x", 1L), ("g", "y", 2L), ("g", "z", 3L))
+      .toDF("g", "s", "i").repartition(5)
+      .groupBy($"g")
+      .agg(bounded_collect(struct($"s", $"i"), 10).as("b"))
+      .select($"b.n", sort_array($"b.items")).as[(Long, Seq[(String, Long)])].head()
+    assert(st == ((3L, Seq(("x", 1L), ("y", 2L), ("z", 3L)))))
+  }
+
   test("native rolling_fingerprint equals the UDF form on varied inputs") {
     val df = Seq("A  B\tc", "a b C", "", "mixed CASE  and\nnewlines", "ünïcode  ÇASE")
       .toDF("text")
