@@ -187,4 +187,47 @@ object ModelArtifacts {
     graft.ppl.NgramLM.Model(toMap("tri", 1 << 14), toMap("bi", 1 << 12),
       node.get("vocabSize").asInt())
   }
+
+  // ------------------------------------------------------------------
+  // BPE tokenizer merge table (ops/Bpe.Model)
+  // ------------------------------------------------------------------
+  /** Persist a learned BPE merge table so the tokenizer trains ONCE (one
+    * corpus shuffle + the in-memory merge loop) and any number of encode
+    * jobs load it — the same build/serve split as the centroids and the
+    * n-gram LM. The table is vocab-bounded (3–5·10⁴ merges for real
+    * tokenizers, single-digit MB of JSON), so one driver-written file is
+    * the right shape; counts and ranks are integers and the symbol
+    * strings round-trip through the JSON escapes, so load(save(m)) is
+    * exact (spec-pinned, non-BMP symbols included).
+    */
+  def saveBpeModel(spark: SparkSession, dir: String, m: graft.ops.Bpe.Model): Unit = {
+    val rows = m.merges.map { mg =>
+      s"""[${mg.rank},"${esc(mg.left)}","${esc(mg.right)}",${mg.pairCount}]"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"numMerges":${m.merges.length},"merges":$rows}"""
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, "bpe_merges.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def loadBpeModel(spark: SparkSession, dir: String): graft.ops.Bpe.Model = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, "bpe_merges.json")
+    if (!f.exists(p))
+      throw graft.errors.ModelNotFoundError(p.toString)
+    val status = f.getFileStatus(p)
+    val in = f.open(p)
+    val bytes = new Array[Byte](status.getLen.toInt)
+    try in.readFully(bytes) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, StandardCharsets.UTF_8))
+    val arr = node.get("merges")
+    val merges = Seq.tabulate(arr.size()) { i =>
+      val r = arr.get(i)
+      graft.ops.Bpe.Merge(r.get(0).asInt(), r.get(1).asText(),
+        r.get(2).asText(), r.get(3).asLong())
+    }
+    graft.ops.Bpe.Model(merges)
+  }
 }

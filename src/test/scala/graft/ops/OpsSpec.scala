@@ -678,6 +678,33 @@ class OpsSpec extends AnyFunSuite {
     intercept[graft.errors.ModelNotFoundError] { ModelArtifacts.loadCentroids(spark, empty) }
   }
 
+  test("BPE model persist/load: exact merge-table round-trip, identical encode from loaded model") {
+    import graft.io.ModelArtifacts
+    // non-BMP + escape-hostile symbols must survive the JSON round-trip
+    val hostile = graft.ops.Bpe.Model(Seq(
+      graft.ops.Bpe.Merge(0, "a", "b", 10L),
+      graft.ops.Bpe.Merge(1, "ab", "</w>", 7L),
+      graft.ops.Bpe.Merge(2, "\"", "\\", 3L),
+      graft.ops.Bpe.Merge(3, "😀", "", 2L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    ModelArtifacts.saveBpeModel(spark, dir, hostile)
+    assert(ModelArtifacts.loadBpeModel(spark, dir) == hostile)
+    // a corpus-trained model serves identically after load
+    val corpus = Seq("low lower lowest", "new newer newest low")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val trained = graft.ops.Bpe.train(corpus, "text", numMerges = 8)
+    ModelArtifacts.saveBpeModel(spark, dir, trained)
+    val loaded = ModelArtifacts.loadBpeModel(spark, dir)
+    assert(loaded == trained)
+    val enc = corpus.select(graft.ops.Bpe.encodeUdf(trained)(col("text")))
+      .as[Seq[String]].collect().toSeq
+    val encLoaded = corpus.select(graft.ops.Bpe.encodeUdf(loaded)(col("text")))
+      .as[Seq[String]].collect().toSeq
+    assert(enc == encLoaded)
+    val none = java.nio.file.Files.createTempDirectory("graft-bpe-none").toString
+    intercept[graft.errors.ModelNotFoundError] { ModelArtifacts.loadBpeModel(spark, none) }
+  }
+
   test("LSH top-k on uniform-random embeddings still returns ranked candidates") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
