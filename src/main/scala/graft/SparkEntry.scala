@@ -357,6 +357,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // exact heavy-hitter word bigrams over the unbounded gram space: a
+    // Misra–Gries sketch proposes ≤ m candidates (bounded agg state, no
+    // gram-keyed corpus shuffle), an exact recount over the broadcast
+    // candidate set disposes — final output exact, oracle-checked bitwise
+    // (the oracle recomputes the true top-k from scratch, so a sketch
+    // coverage miss would FAIL the compare, not hide).
+    "q66_heavy_hitters" -> ((s, dir) => {
+      TextOps.heavyHitterNgrams(t(s, dir, "documents"), "text",
+        n = 2, k = 15, m = 4096)
+    }),
+
     "q16_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("lang"))
@@ -1301,6 +1312,16 @@ object SparkEntry {
            CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
            round(avg(bin_tokens), 2) AS avg_bin_tokens
          FROM pb GROUP BY source""",
+
+    "q66_heavy_hitters" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         g AS (SELECT array_to_string(
+                 list_slice(t, CAST(u.k AS INT) + 1, CAST(u.k AS INT) + 2), ' ') AS gram
+               FROM toks, LATERAL unnest(range(0, len(t) - 1)) AS u(k)
+               WHERE len(t) >= 2)
+         SELECT gram, count(*) AS cnt FROM g
+         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 15""",
 
     "q48_trigram_counts" ->
       """SELECT tri, cnt FROM (

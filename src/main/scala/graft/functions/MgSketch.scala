@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters sketch (Misra & Gries 1982; mergeable form
+  * per Agarwal et al. 2013, "Mergeable Summaries") as a native Catalyst
+  * aggregate — the candidate-proposal half of exact heavy-hitter mining
+  * over an UNBOUNDED key space (word n-grams, URLs), where a plain
+  * `groupBy(key)` would shuffle every distinct key at corpus scale.
+  *
+  * State is at most `m` (item, count) counters per partial aggregate;
+  * overflow decrements all counters (classic MG — amortised O(1) per
+  * insert since each decrement is paid for by earlier inserts), and merge
+  * sums the two summaries then subtracts the (m+1)-th largest count from
+  * every counter, dropping non-positives (the mergeable-summaries rule).
+  * GUARANTEE (survives any merge tree): every item with true frequency
+  * > N/(m+1) remains in the summary, with its count under-estimated by at
+  * most N/(m+1). The summary's exact CONTENT depends on partition layout
+  * (like any MG deployment), so the sketch proposes and an exact recount
+  * pass disposes — see [[graft.ops.TextOps.heavyHitterNgrams]], whose
+  * FINAL output is exact and engine-independent (DuckDB-oracle-checked).
+  *
+  * Output: `array<struct<item: string, cnt: bigint>>` sorted by
+  * (cnt desc, item asc).
+  */
+case class MgSketchAgg(
+    child: Expression,
+    m: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if m > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"mg_sketch m must be > 0: $m")
+    case t => TypeCheckResult.TypeCheckFailure(s"mg_sketch requires a string argument, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_sketch"
+
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+    new java.util.HashMap[UTF8String, java.lang.Long]()
+
+  override def update(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      val cur = buf.get(s)
+      if (cur != null) buf.put(s, cur + 1L)
+      else if (buf.size() < m) buf.put(s.clone(), 1L)
+      else {
+        // decrement-all: one "vote" against every held counter
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      other: java.util.HashMap[UTF8String, java.lang.Long]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    other.forEach { (k, v) =>
+      val cur = buf.get(k)
+      buf.put(if (cur == null) k.clone() else k, (if (cur == null) 0L else cur.longValue) + v)
+    }
+    if (buf.size() > m) {
+      // subtract the (m+1)-th largest count from everything, keep positives
+      val counts = new Array[Long](buf.size())
+      var i = 0
+      val vit = buf.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val t = counts(counts.length - (m + 1)) // (m+1)-th largest
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= t) it.remove() else e.setValue(e.getValue - t)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any = {
+    val entries = new Array[(UTF8String, Long)](buf.size())
+    var i = 0
+    buf.forEach { (k, v) => entries(i) = (k, v); i += 1 }
+    val sorted = entries.sortWith { case ((ka, ca), (kb, cb)) =>
+      if (ca != cb) ca > cb else ka.compareTo(kb) < 0
+    }
+    new GenericArrayData(sorted.map { case (k, c) =>
+      new GenericInternalRow(Array[Any](k, c))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] = {
+    var total = 4
+    buf.forEach { (k, _) => total += 4 + k.numBytes() + 8 }
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(buf.size())
+    buf.forEach { (k, v) =>
+      val bytes = k.getBytes
+      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.put(UTF8String.fromBytes(arr), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MgSketchAgg =
+    copy(child = newChild)
+}
+
+object MgSketchAgg {
+
+  /** Column helper: `agg(mg_sketch(col, m))`. */
+  def mg_sketch(c: Column, m: Int): Column =
+    ColumnBridge.column(
+      MgSketchAgg(ColumnBridge.expression(c), m).toAggregateExpression())
+}

@@ -162,4 +162,52 @@ object TextOps {
             col("__bt").getItem(1).cast("double")))
       .drop("__toks", "__bt")
   }
+
+  /** One row per word n-gram occurrence: (gram) — space-joined token
+    * slices, same normalisation as [[Decontam.wordNgramHashes]] but
+    * un-hashed and NOT per-doc-distinct (occurrence counting).
+    */
+  private def wordNgrams(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.filter(tokenCount(col(textCol)) >= n)
+      .select(split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(explode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"))
+
+  /** EXACT top-k word n-grams over an unbounded gram space — the
+    * propose-approximately / verify-exactly shape: a Misra–Gries sketch
+    * pass proposes ≤ `m` candidate grams (bounded agg state, map-side
+    * mergeable, NO shuffle keyed by the gram space), then an exact
+    * recount touches only gram occurrences matching the broadcast
+    * candidate set. A plain `groupBy(gram)` is fine when keys are
+    * Heaps-bounded (words); n-grams are not — at 10¹² documents the
+    * distinct-gram shuffle IS the corpus, which is what the sketch pass
+    * avoids.
+    *
+    * EXACTNESS CONDITION (Misra–Gries guarantee, survives any merge
+    * tree): the k-th most frequent gram must occur more than
+    * totalGrams/(m+1) times — every such gram is guaranteed to survive
+    * the sketch, so the candidate set covers the true top-k and the
+    * recount makes the final output exact and engine-independent
+    * (DuckDB-oracle-checked bitwise as q66 at two scale factors; the
+    * oracle recomputes the exact top-k from scratch, so a coverage miss
+    * would fail the round, not hide). Size `m` ≳ 40× k for comfortable
+    * headroom on Zipf-ish corpora. Ties break (count desc, gram asc).
+    */
+  def heavyHitterNgrams(df: DataFrame, textCol: String, n: Int, k: Int,
+      m: Int = 4096): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1: k=$k m=$m")
+    val spark = df.sparkSession
+    val grams = wordNgrams(df, textCol, n)
+    val sketch = grams
+      .agg(graft.functions.MgSketchAgg.mg_sketch(col("gram"), m).as("s"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val cands = sketch.map(_.getString(0))
+    import spark.implicits._
+    val candDf = cands.toDF("gram")
+    grams.join(broadcast(candDf), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
 }

@@ -44,6 +44,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(st == ((3L, Seq(("x", 1L), ("y", 2L), ("z", 3L)))))
   }
 
+  test("mg_sketch retains every item above the N/(m+1) guarantee; heavy hitters are exact") {
+    import MgSketchAgg.mg_sketch
+    // adversarial stream: 3 planted heavies far above N/(m+1), a sea of
+    // distinct singletons, tiny m = 8, many partitions (merge rule runs)
+    val heavies = Seq("aa" -> 400, "bb" -> 300, "cc" -> 250)
+    val rows = heavies.flatMap { case (s, c) => Seq.fill(c)(s) } ++
+      (1 to 1000).map(i => s"light$i")
+    val sketch = rows.toDF("v").repartition(17)
+      .agg(mg_sketch($"v", 8).as("s"))
+      .select(explode($"s").as("e")).select($"e.item", $"e.cnt")
+      .as[(String, Long)].collect().toMap
+    heavies.foreach { case (s, c) =>
+      assert(sketch.contains(s), s"guaranteed heavy '$s' missing: $sketch")
+      // MG undercount bound: true - N/(m+1) <= sketchCount <= true
+      val n = rows.size
+      assert(sketch(s) <= c && sketch(s) >= c - n / 9, s"$s: ${sketch(s)} vs $c")
+    }
+    // exact heavy-hitter op: matches brute force at any parallelism
+    val docs = (1 to 60).map { i =>
+      val phrase = if (i % 3 == 0) "the quick fox" else s"unique$i tokens here$i"
+      (i.toLong, (phrase + " ") * (1 + i % 4))
+    }
+    def run(parts: Int) = TextOps.heavyHitterNgrams(
+        docs.toDF("doc_id", "text").repartition(parts), "text", n = 2, k = 5, m = 64)
+      .as[(String, Long)].collect().toSeq
+    val brute = docs.toDF("doc_id", "text")
+      .filter(TextOps.tokenCount(col("text")) >= 2)
+      .select(split(trim(col("text")), "\\s+").as("t"))
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', slice(t, i + 1, 2)))")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc).limit(5)
+      .as[(String, Long)].collect().toSeq
+    assert(run(1) == brute && run(13) == brute,
+      s"exact top-k must match brute force at any parallelism: ${run(13)} vs $brute")
+  }
+
   test("native rolling_fingerprint equals the UDF form on varied inputs") {
     val df = Seq("A  B\tc", "a b C", "", "mixed CASE  and\nnewlines", "ünïcode  ÇASE")
       .toDF("text")
