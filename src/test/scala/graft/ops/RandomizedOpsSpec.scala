@@ -159,4 +159,88 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
     check("s0", 0.9); check("s1", 0.5); check("s2", 0.1); check("s3", 0.02)
   }
+
+  test("window excision matches a brute-force recompute on 200 random docs") {
+    // random docs over a small alphabet (collisions happen naturally:
+    // within-doc repeats, cross-doc shares, boundary ties)
+    val rng = new scala.util.Random(20250817)
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill(5 + rng.nextInt(40))(words(rng.nextInt(words.size))).mkString(" "))
+    }
+    val W = 12
+    val got = Dedup.dedupWindows(docs.toDF("doc_id", "text"), "text", "doc_id",
+        windowLen = W, selectBits = 0)
+      .select("doc_id", "n_removed", "n_spans", "cleaned")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // brute force: every W-char window, global groups, min (id,pos) keeper,
+    // merged-interval excision
+    val occ = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    docs.foreach { case (id, t) =>
+      (0 to t.length - W).foreach { p =>
+        occ.getOrElseUpdate(t.substring(p, p + W), scala.collection.mutable.ArrayBuffer.empty) += ((id, p))
+      }
+    }
+    val removals = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    occ.values.filter(_.size > 1).foreach { g =>
+      val keep = g.min
+      g.filter(_ != keep).foreach { case (id, p) =>
+        removals.getOrElseUpdate(id, scala.collection.mutable.ArrayBuffer.empty) += p
+      }
+    }
+    docs.foreach { case (id, t) =>
+      val poss = removals.get(id).map(_.sorted.toSeq).getOrElse(Seq.empty)
+      val sb = new java.lang.StringBuilder
+      var cur = 0
+      var spans = 0
+      var end = -1
+      poss.foreach { p =>
+        if (p > end) spans += 1
+        end = p + W
+        val s = math.max(p, cur); val e = math.min(p + W, t.length)
+        if (s < e) { if (cur < s) sb.append(t, cur, s); cur = e }
+      }
+      if (cur < t.length) sb.append(t, cur, t.length)
+      val want = (id, (t.length - sb.length).toLong, spans.toLong, sb.toString)
+      assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+    }
+  }
+
+  test("bounded_collect equals count + collect_list at random caps and groupings") {
+    val rng = new scala.util.Random(4242)
+    val rows = (1 to 2000).map(i => (s"g${rng.nextInt(40)}", rng.nextInt(100000).toLong))
+    val df = rows.toDF("g", "v").repartition(11)
+    Seq(1, 3, 17, 64).foreach { cap =>
+      val got = df.groupBy($"g")
+        .agg(graft.functions.BoundedCollectAgg.bounded_collect($"v", cap).as("s"))
+        .select($"g", $"s.n", sort_array($"s.items"))
+        .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> (vs.size.toLong,
+          if (vs.size <= cap) vs.map(_._2).sorted else Seq.empty[Long])
+      }
+      assert(got == want, s"cap=$cap")
+    }
+  }
+
+  test("heavy-hitter n-grams exact vs brute force on 100 random Zipf-ish docs") {
+    val rng = new scala.util.Random(99887)
+    // Zipf-ish vocab: low-index words dominate → real heavy bigrams
+    def word() = s"w${math.min(rng.nextInt(4) * rng.nextInt(8), 12)}"
+    val docs = (1L to 100L).map(i =>
+      (i, Seq.fill(10 + rng.nextInt(30))(word()).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.heavyHitterNgrams(df, "text", n = 3, k = 8, m = 512)
+      .as[(String, Long)].collect().toSeq
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { case (_, t) =>
+      val toks = t.trim.split("\\s+")
+      (0 to toks.length - 3).foreach { j =>
+        val g = toks.slice(j, j + 3).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0L) + 1
+      }
+    }
+    val want = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(8)
+    assert(got == want, s"got $got want $want")
+  }
 }
