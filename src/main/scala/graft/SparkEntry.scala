@@ -368,6 +368,22 @@ object SparkEntry {
         n = 2, k = 15, m = 4096)
     }),
 
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // terciles of the trigram-LM perplexity (exact-percentile oracle form;
+    // the scale path uses approx_percentile — see TextOps.quantileBuckets).
+    // Rows-only → the Python crosscheck recomputes perplexity from the
+    // bit-exact LM port, replays Spark's exact-percentile interpolation
+    // (goldens-pinned formula) and re-buckets every doc.
+    "q67_ppl_buckets" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("ppl", TextOps.perplexityUdf(col("text")))
+      TextOps.quantileBuckets(scored, "ppl", "lang", exact = true)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(rint(ppl * 1e6) as bigint)")).as("sum_ppl_micro"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
     "q16_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("lang"))

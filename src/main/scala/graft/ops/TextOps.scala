@@ -163,6 +163,48 @@ object TextOps {
       .drop("__toks", "__bt")
   }
 
+  /** CCNet-style quantile bucketing (Wenzek et al. 2020: per-language
+    * perplexity TERCILES — head/middle/tail — the canonical use of the
+    * KenLM-style score; docs in the "head" carry the lowest perplexity):
+    * per `byCol` group, thresholds at the `cuts` quantiles of `scoreCol`;
+    * each row gets the first label whose threshold its score does not
+    * exceed. Returns the input plus a `bucket` column (null score → null
+    * bucket, never silently binned).
+    *
+    * `exact = false` (default, the SCALE path) estimates thresholds with
+    * `approx_percentile` — a mergeable bounded-state sketch built into
+    * Spark, so the threshold aggregation is one |groups|-key agg with
+    * map-side combine regardless of corpus size. `exact = true` uses
+    * `percentile()` — exact interpolated quantiles whose aggregation
+    * state holds the group's VALUES (memory O(group); the oracle /
+    * small-group form, and the form the q67 crosscheck replays
+    * bit-for-bit). Thresholds are a tiny per-group table broadcast back;
+    * assignment is one narrow codegen pass.
+    */
+  def quantileBuckets(df: DataFrame, scoreCol: String, byCol: String,
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(labels.length == cuts.length + 1,
+      s"need one more label than cuts: ${labels.length} labels, ${cuts.length} cuts")
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0.0 && c < 1.0),
+      s"cuts must be ascending in (0,1): $cuts")
+    val score = col(scoreCol).cast("double")
+    val cutsSql = cuts.mkString("array(", ",", ")")
+    val thAgg =
+      if (exact) expr(s"percentile(cast($scoreCol as double), $cutsSql)")
+      else expr(s"approx_percentile(cast($scoreCol as double), $cutsSql, $accuracy)")
+    val th = df.groupBy(col(byCol)).agg(thAgg.as("__cuts"))
+    var bucket: Column = lit(labels.last)
+    cuts.indices.reverse.foreach { i =>
+      bucket = when(score <= element_at(col("__cuts"), i + 1), lit(labels(i)))
+        .otherwise(bucket)
+    }
+    df.join(broadcast(th), Seq(byCol))
+      .withColumn("bucket", when(score.isNull, lit(null:String)).otherwise(bucket))
+      .drop("__cuts")
+  }
+
   /** One row per word n-gram occurrence: (gram) — space-joined token
     * slices, same normalisation as [[Decontam.wordNgramHashes]] but
     * un-hashed and NOT per-doc-distinct (occurrence counting).

@@ -244,7 +244,32 @@ object GoldenDump {
     sb.append(s""""words": [${bpeWords.map { case (w, c) => s"[${jstr(w)},$c]" }.mkString(",")}],""")
     sb.append(s""""merges": [${bpeModel.merges.map(m =>
       s"[${m.rank},${jstr(m.left)},${jstr(m.right)},${m.pairCount}]").mkString(",")}]""")
-    sb.append("}\n")
+    sb.append("},\n")
+
+    // --- exact percentile interpolation (quantileBuckets oracle form) ----
+    // raw IEEE-754 bits of Spark's percentile() on probe sets chosen to
+    // exercise interpolation (pos not integral), exact-hit (pos integral),
+    // duplicates, and negatives — pins the Python mirror's formula
+    val pctProbes: Seq[(String, Seq[Double])] = Seq(
+      ("untied4", Seq(1.0, 2.0, 4.0, 8.0)),
+      ("untied7", Seq(-3.5, -1.25, 0.0, 2.75, 9.5, 11.0, 120.25)),
+      ("dups6", Seq(5.0, 5.0, 5.0, 7.0, 7.0, 100.0)),
+      ("single", Seq(42.0)))
+    val pctCuts = Seq(1.0 / 3, 2.0 / 3, 0.5, 0.25)
+    sb.append("\"percentile_exact\": {")
+    sb.append(pctProbes.map { case (name, vs) =>
+      import spark.implicits._
+      val arr = spark.createDataset(vs).toDF("v")
+        .agg(org.apache.spark.sql.functions.expr(
+          s"percentile(v, array(${pctCuts.mkString(",")}))"))
+        .head().getSeq[Double](0)
+      s""""$name": [${arr.map(java.lang.Double.doubleToLongBits).mkString(",")}]"""
+    }.mkString(","))
+    sb.append("},\n")
+    sb.append(s""""percentile_cuts": [${pctCuts.map(java.lang.Double.doubleToLongBits).mkString(",")}],\n""")
+    sb.append(s""""percentile_probes": {${pctProbes.map { case (n, vs) =>
+      s""""$n": [${vs.map(java.lang.Double.doubleToLongBits).mkString(",")}]"""
+    }.mkString(",")}}\n""")
 
     sb.append("}\n")
     Files.writeString(Paths.get(out), sb.result())

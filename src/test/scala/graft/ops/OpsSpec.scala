@@ -678,6 +678,46 @@ class OpsSpec extends AnyFunSuite {
     intercept[graft.errors.ModelNotFoundError] { ModelArtifacts.loadCentroids(spark, empty) }
   }
 
+  test("quantileBuckets: exact terciles match the pinned interpolation; approx mode labels consistently") {
+    val rng = new scala.util.Random(5150)
+    val rows = (1L to 300L).map(i => (i, s"g${i % 3}", rng.nextDouble() * 100.0)) :+
+      ((301L, "g0", Double.NaN)) // NaN sorts last in Spark doubles — exercise it? no: drop
+    val docs = rows.dropRight(1).toDF("id", "grp", "score")
+    val got = TextOps.quantileBuckets(docs, "score", "grp", exact = true)
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    // driver reference with Spark's exact two-weight interpolation
+    def pct(vs: Seq[Double], p: Double): Double = {
+      val v = vs.sorted
+      val pos = p * (v.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) v(lo) else (hi - pos) * v(lo) + (pos - lo) * v(hi)
+    }
+    val byG = rows.dropRight(1).groupBy(_._2)
+    rows.dropRight(1).foreach { case (id, g, s) =>
+      val vs = byG(g).map(_._3)
+      val (t1, t2) = (pct(vs, 1.0 / 3), pct(vs, 2.0 / 3))
+      val want = if (s <= t1) "head" else if (s <= t2) "middle" else "tail"
+      assert(got(id) == want, s"id=$id s=$s t1=$t1 t2=$t2")
+    }
+    // null score → null bucket, never silently binned
+    val withNull = Seq((1L, "g", Some(5.0)), (2L, "g", Some(50.0)),
+      (3L, "g", Option.empty[Double])).toDF("id", "grp", "score")
+    val nb = TextOps.quantileBuckets(withNull, "score", "grp", exact = true)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(nb(3L).isEmpty && nb(1L).contains("head"))
+    // approx (scale) mode: labels are ordered by score within each group
+    val ga = TextOps.quantileBuckets(docs, "score", "grp")
+      .select("grp", "score", "bucket").as[(String, Double, String)].collect()
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    ga.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      val labs = sorted.map(r => order(r._3))
+      assert(labs.sorted.sameElements(labs), "bucket labels must be monotone in score")
+      assert(labs.distinct.length == 3, "all three buckets populated at n=100/group")
+    }
+  }
+
   test("BPE model persist/load: exact merge-table round-trip, identical encode from loaded model") {
     import graft.io.ModelArtifacts
     // non-BMP + escape-hostile symbols must survive the JSON round-trip

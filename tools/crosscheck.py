@@ -76,6 +76,31 @@ def q46(docs):
                   for l, g in groups.items()]
 
 
+def q67(docs):
+    """Mirror of SparkEntry q67: per-lang perplexity TERCILES (CCNet
+    head/middle/tail) — perplexity from the bit-exact LM port, thresholds
+    via the goldens-pinned exact-percentile interpolation, then every doc
+    re-bucketed and the per-(lang, bucket) micro-sums compared."""
+    from graftcheck.quantile import percentile_exact, bucket_of
+    m = lm_model()
+    cuts_p = [1.0 / 3, 2.0 / 3]
+    labels = ["head", "middle", "tail"]
+    scored = [(d[0], d[2], m.perplexity(d[1])) for d in docs]
+    th = {}
+    for lang in {l for _i, l, _p in scored}:
+        vs = [p for _i, l, p in scored if l == lang]
+        th[lang] = [percentile_exact(vs, c) for c in cuts_p]
+    groups = {}
+    for i, lang, p in scored:
+        b = bucket_of(p, th[lang], labels)
+        g = groups.setdefault((lang, b), [0, 0, 0])
+        g[0] += 1
+        g[1] += int(round(p * 1e6))
+        g[2] += i
+    cols = ["lang", "bucket", "n_docs", "sum_ppl_micro", "sum_ids"]
+    return cols, [(l, b, g[0], g[1], g[2]) for (l, b), g in groups.items()]
+
+
 def q58(docs):
     """Mirror of SparkEntry q58: DSIR importance weights, target = src0."""
     target = [t for _id, t, _l, src, _n in docs if src == "src0" and len(t) > 0]
@@ -752,6 +777,7 @@ def main():
     builders = {
         "q17_langid_docs": lambda: q17(docs),
         "q46_perplexity": lambda: q46(docs),
+        "q67_ppl_buckets": lambda: q67(docs),
         "q58_dsir_selection": lambda: q58(docs),
         "q59_bpe_merges": lambda: q59(docs),
         "q62_bpe_encode": lambda: q62(docs),

@@ -1,0 +1,31 @@
+"""Bit-exact mirror of Spark's exact `percentile()` interpolation —
+the threshold aggregation of graft.ops.TextOps.quantileBuckets in its
+oracle (`exact = true`) form.
+
+Spark's Percentile: sorted values v, position = p * (n - 1),
+lo = floor(position), hi = ceil(position); an integral position returns
+v[lo], otherwise the TWO-WEIGHT form (hi - pos) * v[lo] + (pos - lo) * v[hi]
+(NOT v[lo] + d * (v[hi] - v[lo]) — the two differ in IEEE rounding; pinned
+by the `percentile_exact` goldens across interpolated / exact-hit /
+duplicate / negative probes).
+"""
+import math
+
+
+def percentile_exact(values, p):
+    v = sorted(values)
+    pos = p * (len(v) - 1)
+    lo = math.floor(pos)
+    hi = math.ceil(pos)
+    if lo == hi:
+        return v[lo]
+    return (hi - pos) * v[lo] + (pos - lo) * v[hi]
+
+
+def bucket_of(score, cuts, labels):
+    """quantileBuckets label assignment: first cut the score does not
+    exceed, else the last label. `score` must be non-null."""
+    for i, c in enumerate(cuts):
+        if score <= c:
+            return labels[i]
+    return labels[-1]

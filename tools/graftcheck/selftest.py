@@ -181,6 +181,21 @@ def main():
         assert got == g["bpe_merges"]["merges"], "BPE merge table not identical"
         checks += 1
 
+    if "percentile_exact" in g:  # Spark percentile() interpolation formula
+        import struct
+        from graftcheck.quantile import percentile_exact
+
+        def from_bits(b):
+            return struct.unpack("<d", struct.pack("<q", b))[0]
+
+        cuts = [from_bits(b) for b in g["percentile_cuts"]]
+        for name, want in g["percentile_exact"].items():
+            vs = [from_bits(b) for b in g["percentile_probes"][name]]
+            got = [struct.unpack("<q", struct.pack("<d", percentile_exact(vs, p)))[0]
+                   for p in cuts]
+            assert got == want, f"percentile formula mismatch on {name}"
+            checks += 1
+
     print(f"graftcheck selftest: {checks} golden checks, all bit-exact")
 
 
