@@ -258,6 +258,23 @@ class CurationStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("distinctEstimate beyond k uses the estimator; compact on an empty store throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store-est").toString
+    intercept[IllegalStateException] { CurationStore.compact(spark, root) }
+    // 600 distinct curated texts > k=256 → the (k-1)/R estimate, within
+    // the ~1/sqrt(k) ≈ 6% band (generous 15% assert)
+    val docs = (1L to 600L).map(i => (i, goodText(i))).toDF("doc_id", "text")
+    val (_, rep) = CurationStore.ingestBatch(docs, root)
+    assert(rep.nCurated == 600L)
+    val est = CurationStore.distinctEstimate(spark, root)
+    assert(math.abs(est - 600.0) / 600.0 < 0.15, s"estimate $est vs 600")
+    // gc with retainSnapshots=2 keeps both snapshots' batches
+    CurationStore.ingestBatch(Seq((9001L, goodText(9001))).toDF("doc_id", "text"), root)
+    val gr = CurationStore.gc(spark, root, retainSnapshots = 2)
+    assert(gr.removedBatchDirs == 0 && gr.removedSnapshots == 0, gr.toString)
+    assert(CurationStore.committedSigs(spark, root).count() == 601L)
+  }
+
   test("uncommitted partial data is invisible; ingest overwrites it atomically") {
     val root = java.nio.file.Files.createTempDirectory("graft-store2").toString
     // simulate a crashed ingest: partition files exist, no snapshot
