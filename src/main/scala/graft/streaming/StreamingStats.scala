@@ -37,6 +37,34 @@ object StreamingStats {
         col("window.end").as("window_end"),
         col("files"), col("kept"), col("withPii"), col("errors"))
 
+  /** Per-event-time-window heavy-hitter word n-grams — the streaming
+    * monitoring tier of [[graft.ops.TextOps.heavyHitterNgrams]]: a
+    * Misra–Gries sketch per window (state = window rows × ≤ m counters in
+    * the state store, bounded by the watermark like any windowed agg)
+    * reporting each finalized window's top candidate grams with their MG
+    * counts (UNDER-estimates by at most windowGrams/(m+1) — trend
+    * detection, not exact mining; run the batch op over the committed data
+    * for exact counts). Append mode: a window emits once, when the
+    * watermark passes.
+    */
+  def windowedHeavyHitters(df: DataFrame, tsCol: String, textCol: String,
+      n: Int = 2, m: Int = 256, topK: Int = 10,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.withWatermark(tsCol, watermarkDelay)
+      .filter(graft.ops.TextOps.tokenCount(col(textCol)) >= n)
+      .select(col(tsCol), toks.as("__toks"))
+      .select(col(tsCol), explode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"))
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.functions.MgSketchAgg.mg_sketch(col("gram"), m).as("__s"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        slice(col("__s"), 1, topK).as("top_grams"))
+  }
+
   /** Streaming gap-based sessionization — the streaming twin of
     * `graft.ops.Sessionize` (the batch q45 operator): Spark's native
     * `session_window` merges events within `gapDuration` of each other

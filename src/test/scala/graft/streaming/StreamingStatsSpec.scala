@@ -59,6 +59,37 @@ class StreamingStatsSpec extends AnyFunSuite {
     assert(rows.contains(("2026-01-01 10:03:00.0", 1L, 1L, 0L, 0L)))
   }
 
+  test("windowed heavy hitters: dominant grams surface per closed window across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingStats.windowedHeavyHitters(in.toDF().toDF("ts", "text"),
+        "ts", "text", n = 2, m = 64, topK = 5,
+        windowDur = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("hhstream")
+      .outputMode(OutputMode.Append()).start()
+    // the dominant bigram "hot gram" arrives split ACROSS two micro-batches
+    // of the same window — the state-store buffer must merge MG summaries
+    in.addData((ts("10:00:05"), "hot gram hot gram hot gram"),
+      (ts("10:00:20"), "noise one two three four"))
+    q.processAllAvailable()
+    in.addData((ts("10:00:40"), "hot gram hot gram"),
+      (ts("10:03:00"), "window closer row"))
+    q.processAllAvailable()
+    in.addData((ts("10:10:00"), "far future"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hhstream")
+      .select("window_start", "top_grams").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getString(0), e.getLong(1))))
+      .toMap
+    val top = rows("2026-01-01 10:00:00.0")
+    // "hot gram" occurs 3+2 = 5 times in-window (plus "gram hot" x3) —
+    // with m=64 > distinct grams the MG counts are exact here
+    assert(top.head == (("hot gram", 5L)), s"top=$top")
+    assert(top.contains(("gram hot", 3L)))
+  }
+
   test("streaming sessionization: gap-merged sessions emitted once on close") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
