@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+import graft.util.Hashing
+
+/** Native sign-LSH bucket ids — the per-vector hot path of
+  * `Similarity.embeddingNearDups` / `lshTopK` (was a Scala UDF boxing a
+  * Seq[Float] per vector and recomputing every hyperplane component via
+  * splitmix64 per (plane, dim) PER VECTOR: nTables × planes × dim mixer
+  * calls each). Values are bit-identical to `Similarity.lshBucketIds`
+  * (spec-pinned): same deterministic plane components, same sign rule,
+  * same (table << 32 | signs) packing.
+  *
+  * The hyperplane matrix is a pure function of (nTables, planesPerTable,
+  * dim), so it is computed once per JVM per shape and cached — the scan
+  * then pays one fused dot product per plane over the unboxed float array.
+  */
+case class LshBucketsExpr(child: Expression, nTables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nTables > 0 && planesPerTable > 0 && planesPerTable <= 32 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets needs nTables > 0 and 0 < planesPerTable <= 32: $nTables/$planesPerTable")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBucketsExpr.compute(input.asInstanceOf[ArrayData], nTables, planesPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshBucketsExpr.compute($c, $nTables, $planesPerTable)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucketsExpr {
+
+  /** (nTables, planesPerTable, dim) → row-major [plane][dim] components. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  /** Same mapping as Similarity.planeComponent (bit-identical). */
+  @inline private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = Hashing.splitmix64(plane.toLong * 1000003L + dim)
+    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  private def planes(nTables: Int, planesPerTable: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((nTables, planesPerTable, dim), { _ =>
+      val total = nTables * planesPerTable
+      val out = new Array[Double](total * dim)
+      var p = 0
+      while (p < total) {
+        var d = 0
+        while (d < dim) { out(p * dim + d) = planeComponent(p, d); d += 1 }
+        p += 1
+      }
+      out
+    })
+
+  /** Static so generated code calls it directly. */
+  def compute(vec: ArrayData, nTables: Int, planesPerTable: Int): ArrayData = {
+    val dim = vec.numElements()
+    if (dim == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val mat = planes(nTables, planesPerTable, dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val base = (t * planesPerTable + p) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += vec.getFloat(d) * mat(base + d); d += 1 }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = (t.toLong << 32) | sig
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def lsh_buckets(c: Column, nTables: Int, planesPerTable: Int): Column =
+    ColumnBridge.column(
+      LshBucketsExpr(ColumnBridge.expression(c), nTables, planesPerTable))
+}

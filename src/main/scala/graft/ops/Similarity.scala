@@ -270,8 +270,11 @@ object Similarity {
       maxBucketWidth: Int = graft.ops.Dedup.DefaultMaxBucketWidth,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
-    val bUdf = lshBucketsUdf(nTables, planesPerTable)
-    val buckets = emb.select(col(idCol), explode(bUdf(col(vecCol))).as("bucket"))
+    // native LshBucketsExpr (was a Scala UDF boxing Seq[Float] per vector
+    // and re-deriving every plane component per vector) — bit-identical
+    // bucket ids, spec-pinned
+    val buckets = emb.select(col(idCol), explode(graft.functions.LshBucketsExpr
+      .lsh_buckets(col(vecCol), nTables, planesPerTable)).as("bucket"))
     // one-PASS id-only candidate generation (round 5, same shape as the
     // text LSH): bounded_collect returns each bucket's exact width and
     // (iff within the cap) its members in one aggregation — cap-bounded
@@ -544,9 +547,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "query_id", qVecCol: String = "query_vec"
   ): DataFrame = {
-    val bUdf = lshBucketsUdf(nTables, planesPerTable)
-    val c = corpus.withColumn("bucket", explode(bUdf(col(vecCol))))
-    val q = queries.withColumn("bucket", explode(bUdf(col(qVecCol))))
+    def bkt(c: Column) =
+      graft.functions.LshBucketsExpr.lsh_buckets(c, nTables, planesPerTable)
+    val c = corpus.withColumn("bucket", explode(bkt(col(vecCol))))
+    val q = queries.withColumn("bucket", explode(bkt(col(qVecCol))))
     val candidates = c.join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(idCol), col(vecCol), col(qIdCol), col(qVecCol))

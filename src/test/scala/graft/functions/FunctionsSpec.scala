@@ -44,6 +44,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(st == ((3L, Seq(("x", 1L), ("y", 2L), ("z", 3L)))))
   }
 
+  test("native lsh_buckets is bit-identical to Similarity.lshBucketIds") {
+    val rng = new java.util.SplittableRandom(7L)
+    val vecs = (1 to 50).map(_ => Array.fill(16)(rng.nextDouble().toFloat * 2 - 1)) ++
+      Seq(Array.fill(16)(0.0f), Array.fill(3)(-1.5f), Array(0.25f))
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val native = Seq(Tuple1(v)).toDF("v")
+        .select(LshBucketsExpr.lsh_buckets(col("v"), 8, 14)).as[Seq[Long]].head()
+      assert(native == graft.ops.Similarity.lshBucketIds(v.toSeq, 8, 14).toSeq,
+        s"vector $i (dim ${v.length})")
+    }
+    // null in → null out
+    val out = Seq(Option.empty[Array[Float]]).toDF("v")
+      .select(LshBucketsExpr.lsh_buckets(col("v"), 8, 8)).collect()
+    assert(out(0).isNullAt(0))
+  }
+
   test("mg_sketch retains every item above the N/(m+1) guarantee; heavy hitters are exact") {
     import MgSketchAgg.mg_sketch
     // adversarial stream: 3 planted heavies far above N/(m+1), a sea of
