@@ -415,7 +415,13 @@ object Similarity {
       if (!splitOversized) cells0
       else splitOversizedCells(cells0, maxCellWidth, maxSplitDepth,
         subCentroids, subSampleSize, idCol, vecCol, maxSampleVectorsPerDepth)
-    // cell width via window count over the same shuffle the self-join reuses
+    // cell width via window count over the same shuffle the self-join
+    // reuses. NOTE this window is deliberate, unlike the ones removed from
+    // the LSH candidate paths: the pair join co-locates each cell on one
+    // task anyway (join key = cell), so the window adds no skew exposure
+    // the join doesn't already have, and it rides the join's own exchange
+    // — the hash-agg + broadcast alternative was MEASURED 1.2× slower at
+    // 1.1M vectors (extra width pass; BENCH.md round 5).
     val w = Window.partitionBy(col("cell"))
     val withW = cells.withColumn("__w", count(lit(1)).over(w))
     val pruned = withW.filter(col("__w") <= maxCellWidth)
