@@ -13,14 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.rollingFingerprintDescriptor)
-    ext.injectFunction(GraftExtensions.minhashSignatureDescriptor)
-    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
-    ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
-    ext.injectFunction(GraftExtensions.simhash64Descriptor)
-    ext.injectFunction(GraftExtensions.windowFingerprintsDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -67,6 +61,16 @@ object GraftExtensions {
       SimHash64Expr(children.head)
     })
 
+  private def intLit(fn: String)(e: Expression, name: String): Int = {
+    require(e.foldable, s"$fn $name must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn $name must be an integer literal, got $other")
+    }
+  }
+
   val windowFingerprintsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("window_fingerprints"),
     new ExpressionInfo(
@@ -74,26 +78,89 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 3,
         "window_fingerprints takes (text, windowLen, selectBits)")
-      def intLit(e: Expression, name: String): Int = {
-        require(e.foldable, s"window_fingerprints $name must be a literal")
-        e.eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"window_fingerprints $name must be an integer literal, got $other")
-        }
-      }
+      val il = intLit("window_fingerprints") _
       WindowFingerprintsExpr(children.head,
-        intLit(children(1), "windowLen"), intLit(children(2), "selectBits"))
+        il(children(1), "windowLen"), il(children(2), "selectBits"))
     })
 
+  val windowFpPositionsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("window_fp_positions"),
+    new ExpressionInfo(
+      classOf[WindowFingerprintPositionsExpr].getName, "window_fp_positions"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "window_fp_positions takes (text, windowLen, selectBits)")
+      val il = intLit("window_fp_positions") _
+      WindowFingerprintPositionsExpr(children.head,
+        il(children(1), "windowLen"), il(children(2), "selectBits"))
+    })
+
+  val exciseWindowsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("excise_windows"),
+    new ExpressionInfo(classOf[ExciseWindowsExpr].getName, "excise_windows"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "excise_windows takes (text, sortedPositions, windowLen)")
+      ExciseWindowsExpr(children.head, children(1),
+        intLit("excise_windows")(children(2), "windowLen"))
+    })
+
+  val lshBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_buckets"),
+    new ExpressionInfo(classOf[LshBucketsExpr].getName, "lsh_buckets"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "lsh_buckets takes (vector, nTables, planesPerTable)")
+      val il = intLit("lsh_buckets") _
+      LshBucketsExpr(children.head,
+        il(children(1), "nTables"), il(children(2), "planesPerTable"))
+    })
+
+  val kmvSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_sketch"),
+    new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "kmv_sketch takes (value, k)")
+      KmvSketchAgg(children.head, intLit("kmv_sketch")(children(1), "k"))
+    })
+
+  val kmvUnionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_union"),
+    new ExpressionInfo(classOf[KmvUnionAgg].getName, "kmv_union"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "kmv_union takes (sketch, k)")
+      KmvUnionAgg(children.head, intLit("kmv_union")(children(1), "k"))
+    })
+
+  val boundedCollectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bounded_collect"),
+    new ExpressionInfo(classOf[BoundedCollectAgg].getName, "bounded_collect"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "bounded_collect takes (value, cap)")
+      BoundedCollectAgg(children.head, intLit("bounded_collect")(children(1), "cap"))
+    })
+
+  val mgSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_sketch"),
+    new ExpressionInfo(classOf[MgSketchAgg].getName, "mg_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "mg_sketch takes (value, m)")
+      MgSketchAgg(children.head, intLit("mg_sketch")(children(1), "m"))
+    })
+
+  /** Every registered function — scalar expressions AND aggregates (the
+    * analyzer wraps an AggregateFunction used in an agg context itself).
+    */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    rollingFingerprintDescriptor, minhashSignatureDescriptor,
+    cosineSimDescriptor, sigAgreementDescriptor, simhash64Descriptor,
+    windowFingerprintsDescriptor, windowFpPositionsDescriptor,
+    exciseWindowsDescriptor, lshBucketsDescriptor, kmvSketchDescriptor,
+    kmvUnionDescriptor, boundedCollectDescriptor, mgSketchDescriptor)
+
   /** Register on an already-built session (tests, notebooks). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(rollingFingerprintDescriptor, minhashSignatureDescriptor,
-      cosineSimDescriptor, sigAgreementDescriptor, simhash64Descriptor,
-      windowFingerprintsDescriptor).foreach {
-      case (id, info, builder) =>
-        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-  }
 }

@@ -129,6 +129,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0) == got(1)) // case/whitespace-insensitive
   }
 
+  test("SQL registration covers the round-5 functions, aggregates included") {
+    GraftExtensions.install(spark)
+    Seq(("g", "a b c a b", Array(0.5f, 0.5f)), ("g", "a b d", Array(1.0f, 0.0f)))
+      .toDF("g", "text", "vec").createOrReplaceTempView("r5_test")
+    // scalar: positions + excision + lsh buckets
+    val row = spark.sql(
+      """SELECT size(window_fp_positions(text, 3, 0)) AS nfp,
+                excise_windows(text, array(0, 2), 3) AS ex,
+                size(lsh_buckets(vec, 4, 6)) AS nb
+         FROM r5_test LIMIT 1""").head()
+    assert(row.getInt(0) == "a b c a b".length - 2)
+    assert(row.getString(1) == " a b") // [0,3)∪[2,5) = [0,5) excised
+    assert(row.getInt(2) == 4)
+    // aggregates: the analyzer must wrap them in agg context
+    val agg = spark.sql(
+      """SELECT size(kmv_sketch(text, 8)) AS ks,
+                bounded_collect(text, 1).n AS bn,
+                size(mg_sketch(text, 4)) AS ms
+         FROM r5_test""").head()
+    assert(agg.getInt(0) == 2 && agg.getLong(1) == 2L && agg.getInt(2) >= 1)
+    val uni = spark.sql(
+      """SELECT size(kmv_union(s, 8)) FROM (
+           SELECT g, kmv_sketch(text, 8) AS s FROM r5_test GROUP BY g)""").head()
+    assert(uni.getInt(0) == 2)
+  }
+
   test("native minhash_signature equals the UDF form and stays in codegen") {
     val df = Seq("the quick brown fox", "", "short", "x" * 500).toDF("text")
     val rows = df.select(
