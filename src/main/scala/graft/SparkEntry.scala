@@ -582,6 +582,34 @@ object SparkEntry {
           expr("bit_xor(xxhash64(doc_id, sha2(cleaned, 256)))").as("digest"))
     }),
 
+    // INCREMENTAL unaligned-substring excision (Dedup.dedupWindowsAgainst):
+    // the daily-shard form — even-id docs are the committed corpus (its
+    // selected-window fingerprint table is the store side), odd-id docs +
+    // copiers embedding even-doc prefixes are the arriving batch. Corpus
+    // passages are excised from the batch; intra-batch duplication is
+    // untouched (against-corpus only). Digest pins every rebuilt batch
+    // doc; recomputed by the Python crosscheck.
+    "q68_window_excise_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(corpus
+          .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 200)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(lit("#" * 42 + " "), substring(col("text"), 1, 160),
+              lit(" qq7tail")).as("text")))
+      val fps = Dedup.windowFingerprintTable(corpus, "text",
+        windowLen = 40, selectBits = 0)
+      Dedup.dedupWindowsAgainst(batch, "text", "doc_id", fps,
+          windowLen = 40, selectBits = 0)
+        .groupBy((col("doc_id") >= 4000000L).as("is_copier"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_removed")).as("sum_removed"),
+          sum(col("n_spans")).as("sum_spans"),
+          expr("bit_xor(xxhash64(doc_id, sha2(cleaned, 256)))").as("digest"))
+    }),
+
     // the candidate→VERIFY dedup tier: LSH proposes, EXACT char-shingle
     // Jaccard disposes (native ExactJaccardExpr per candidate pair) — the
     // tier for decisions where a false drop is expensive. Planted zz9

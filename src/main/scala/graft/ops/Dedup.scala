@@ -694,6 +694,15 @@ object Dedup {
         col("__keep.__pos") === col("__pos")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__poss"))
+    rebuildExcised(df, removals, textCol, idCol, windowLen)
+  }
+
+  /** Shared rebuild of [[dedupWindows]] / [[dedupWindowsAgainst]]:
+    * `removals` = (idCol, __poss sorted positions); merged-interval
+    * excision + span count, one outer join + one narrow pass.
+    */
+  private def rebuildExcised(df: DataFrame, removals: DataFrame,
+      textCol: String, idCol: String, windowLen: Int): DataFrame = {
     val cleaned = when(col("__poss").isNull, col(textCol))
       .otherwise(graft.functions.ExciseWindowsExpr
         .excise_windows(col(textCol), col("__poss"), windowLen))
@@ -713,6 +722,45 @@ object Dedup {
         (length(col(textCol)) - length(cleaned)).cast("long").as("n_removed"),
         nSpans.as("n_spans"),
         cleaned.as("cleaned"))
+  }
+
+  /** The committed corpus's selected-window fingerprint table —
+    * (window_fp), distinct — the store side of [[dedupWindowsAgainst]].
+    * Persist it per ingest (parquet partition, same lifecycle as the
+    * CurationStore signature partitions) so the daily shard pays only its
+    * own scan.
+    */
+  def windowFingerprintTable(df: DataFrame, textCol: String,
+      windowLen: Int = 40, selectBits: Int = 4): DataFrame =
+    df.select(explode(graft.functions.WindowFingerprintsExpr
+        .window_fingerprints(col(textCol), windowLen, selectBits)).as("window_fp"))
+      .distinct()
+
+  /** Incremental unaligned-substring excision: remove from `batch` every
+    * selected window whose fingerprint appears in the committed corpus
+    * fingerprint table — the daily-shard analogue of [[dedupWindows]]
+    * (the corpus side always keeps; against-corpus only by design, like
+    * [[dropNearDupsAgainst]] — intra-batch duplication is a separate,
+    * composable [[dedupWindows]] pass). Same window length and selectBits
+    * MUST be used on both sides (fingerprints are parameter-specific).
+    *
+    * Scale shape: one narrow batch scan → semi join against the corpus
+    * fingerprint table keyed by the uniform fingerprint (only batch-side
+    * occurrences shuffle; the corpus table is read once, pre-distinct on
+    * disk) → per-batch-doc position collection (doc-length bounded) →
+    * the shared one-join rebuild.
+    */
+  def dedupWindowsAgainst(batch: DataFrame, textCol: String, idCol: String,
+      corpusFps: DataFrame, windowLen: Int = 40, selectBits: Int = 4): DataFrame = {
+    val occ = batch.select(col(idCol),
+      explode(graft.functions.WindowFingerprintsExpr
+        .window_fp_positions(col(textCol), windowLen, selectBits)).as("__o"))
+      .select(col(idCol), col("__o.pos").as("__pos"), col("__o.fp").as("__fp"))
+    val removals = occ
+      .join(corpusFps.select(col("window_fp").as("__fp")), Seq("__fp"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__poss"))
+    rebuildExcised(batch, removals, textCol, idCol, windowLen)
   }
 
   /** The candidate→VERIFY dedup tier (Lee et al.: approximate proposal,

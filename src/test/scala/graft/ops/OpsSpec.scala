@@ -139,6 +139,29 @@ class OpsSpec extends AnyFunSuite {
       s"sampled windows must be excised: ${out(1)._2}")
   }
 
+  test("incremental window excision removes corpus-committed passages from the batch only") {
+    val passage = Seq.tabulate(20)(j => f"stored$j%03d").mkString("") // 180 chars
+    val corpusDoc = passage + "A" + Seq.tabulate(12)(j => f"corpTail$j%02d").mkString(" ")
+    val corpusFps = Dedup.windowFingerprintTable(
+      Seq((1L, corpusDoc)).toDF("doc_id", "text"), "text", windowLen = 40, selectBits = 0)
+    val freshTail = Seq.tabulate(12)(j => f"newTail$j%03d").mkString(" ")
+    val batch = Seq(
+      (101L, ("z" * 13) + "! " + passage + "B" + freshTail), // embeds the stored passage
+      (102L, Seq.tabulate(25)(j => f"novel$j%04d").mkString(" ")), // fresh → untouched
+      // intra-batch dup pair WITHOUT corpus support → against-corpus only
+      (103L, Seq.tabulate(20)(j => f"batchOnly$j%03d").mkString("") + " x"),
+      (104L, "pad padding! " + Seq.tabulate(20)(j => f"batchOnly$j%03d").mkString("") + " y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupWindowsAgainst(batch, "text", "doc_id", corpusFps,
+        windowLen = 40, selectBits = 0)
+      .select("doc_id", "n_removed", "n_spans", "cleaned")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(101L)._2 == 180L && out(101L)._3 == 1L, out(101L).toString)
+    assert(out(101L)._4 == ("z" * 13) + "! " + "B" + freshTail)
+    assert(out(102L)._2 == 0L && out(103L)._2 == 0L && out(104L)._2 == 0L,
+      "fresh + intra-batch-only dups must survive an against-corpus pass")
+  }
+
   test("window_fp_positions agrees with window_fingerprints; excise_windows clamps and validates") {
     val text = "some moderately long text for rolling fingerprints " * 4
     val (fps, posFps) = Seq(Tuple1(text)).toDF("t")

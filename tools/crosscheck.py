@@ -340,6 +340,32 @@ def q65(docs):
                   for k, g in sorted(groups.items())]
 
 
+def q68(docs):
+    """Mirror of SparkEntry q68: incremental window excision — even-id
+    corpus fingerprints, odd-id + copier batch, against-corpus removal."""
+    import hashlib
+    from graftcheck.hashes import spark_xxhash64, i64, M64
+    corpus = [(d[0], d[1]) for d in docs if d[0] % 2 == 0]
+    batch = [(d[0], d[1]) for d in docs if d[0] % 2 == 1] + \
+            [(i + 4000000, "#" * 42 + " " + t[:160] + " qq7tail")
+             for i, t in corpus if i % 7 == 0 and len(t) >= 200]
+    res = dedup.dedup_windows_against(batch, [t for _i, t in corpus],
+                                      window_len=40, select_bits=0)
+    groups = {}
+    for i, (nc, nr, ns, cleaned) in res.items():
+        g = groups.setdefault(i >= 4000000, [0, 0, 0, 0, 0])
+        g[0] += 1
+        g[1] += nc
+        g[2] += nr
+        g[3] += ns
+        g[4] ^= spark_xxhash64(
+            [i, hashlib.sha256(cleaned.encode()).hexdigest()]) & M64
+    cols = ["is_copier", "n_docs", "sum_chars", "sum_removed", "sum_spans",
+            "digest"]
+    return cols, [(k, g[0], g[1], g[2], g[3], i64(g[4]))
+                  for k, g in sorted(groups.items())]
+
+
 def q54(docs):
     """Mirror of SparkEntry q54: LSH candidates -> exact char-shingle
     Jaccard verify at >= 0.8 over docs + planted zz9 variants."""
@@ -789,6 +815,7 @@ def main():
         "q53_store_lifecycle": lambda: q53(docs),
         "q64_store_compaction": lambda: q64(docs),
         "q65_window_excise": lambda: q65(docs),
+        "q68_window_excise_incremental": lambda: q68(docs),
         "q54_verified_neardups": lambda: q54(docs),
         "q20_simhash": lambda: q20(docs),
         "q20b_simhash_neardup": lambda: q20b(docs),

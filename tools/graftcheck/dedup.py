@@ -154,6 +154,28 @@ def dedup_windows(docs, window_len=40, select_bits=4):
     return out
 
 
+def dedup_windows_against(batch, corpus_texts, window_len=40, select_bits=0):
+    """Replay of graft.ops.Dedup.dedupWindowsAgainst: batch windows whose
+    fingerprint appears in the corpus table are excised (corpus keeps);
+    → {id: (n_chars, n_removed, n_spans, cleaned)}."""
+    fps = set()
+    for t in corpus_texts:
+        fps.update(window_fingerprints(t, window_len, select_bits))
+    out = {}
+    for i, t in batch:
+        poss = sorted(p for p, fp in window_fp_positions(t, window_len, select_bits)
+                      if fp in fps)
+        cleaned = excise_windows(t, poss, window_len)
+        n_spans = 0
+        end = -1
+        for p in poss:
+            if p > end:
+                n_spans += 1
+            end = p + window_len
+        out[i] = (len(t), len(t) - len(cleaned), n_spans, cleaned)
+    return out
+
+
 def band_buckets(sig):
     """[(band, bucketKey)] — key is Spark hash() of the 4-long slice."""
     return [(b, spark_hash_longs(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]))
