@@ -77,11 +77,18 @@ object CurationStore {
     */
   val SketchK: Int = 256
 
+  /** Window length / selection density of the per-batch window-fingerprint
+    * partitions (the substring-dedup tier; see [[committedWindowFps]]).
+    */
+  val WindowLen: Int = 40
+  val WindowSelectBits: Int = 4
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def snapshotDir(root: String) = new Path(root, "_snapshots")
   private def dataDir(root: String) = new Path(root, "data").toString
   private def sketchesDir(root: String) = new Path(root, "sketches").toString
+  private def windowsDir(root: String) = new Path(root, "windows").toString
 
   private def render(s: StoreSnapshot): String = {
     val counts = s.counts.sortBy(_._1)
@@ -166,9 +173,10 @@ object CurationStore {
       textCol: String = "text", idCol: String = "doc_id",
       cfg: Curation.Config = Curation.Default,
       minJaccard: Double = 0.9,
-      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth): (DataFrame, IngestReport) =
+      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth,
+      storeWindowFps: Boolean = false): (DataFrame, IngestReport) =
     ingestBatchIdempotent(batch, root, token = -1L, textCol, idCol, cfg,
-      minJaccard, maxBucketWidth)
+      minJaccard, maxBucketWidth, storeWindowFps)
       .getOrElse(sys.error("unreachable: token -1 never deduplicates"))
 
   /** [[ingestBatch]] with an idempotency token (a Structured Streaming
@@ -184,7 +192,8 @@ object CurationStore {
       textCol: String = "text", idCol: String = "doc_id",
       cfg: Curation.Config = Curation.Default,
       minJaccard: Double = 0.9,
-      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth): Option[(DataFrame, IngestReport)] = {
+      maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth,
+      storeWindowFps: Boolean = false): Option[(DataFrame, IngestReport)] = {
     val spark = batch.sparkSession
     if (token != -1L && snapshots(spark, root).exists(_.token == token)) return None
     val prev = lastSnapshot(spark, root)
@@ -235,6 +244,13 @@ object CurationStore {
       writeSketch(spark, root, version,
         curated.agg(graft.functions.KmvSketch.kmv(col(textCol), SketchK))
           .head().getSeq[Long](0).toArray)
+      // optional substring-dedup tier: the curated texts' selected-window
+      // fingerprints as their own batch partition (one extra curated-scale
+      // pass; [[committedWindowFps]] + Dedup.dedupWindowsAgainst consume it)
+      if (storeWindowFps)
+        Dedup.windowFingerprintTable(curated, textCol, WindowLen, WindowSelectBits)
+          .write.mode("overwrite")
+          .parquet(new Path(windowsDir(root), s"batch=$version").toString)
       val snap = StoreSnapshot(
         version = version,
         parent = prev.map(_.version).getOrElse(-1),
@@ -271,6 +287,29 @@ object CurationStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(sketchesDir(root))
       .filter(col("batch").isin(committed.toSeq.sorted: _*))
+  }
+
+  /** The committed corpus's selected-window fingerprint table
+    * (window_fp) — present for batches ingested with
+    * `storeWindowFps = true`. Feed to [[Dedup.dedupWindowsAgainst]] with
+    * the SAME [[WindowLen]]/[[WindowSelectBits]] to excise
+    * corpus-committed substrings from an arriving shard. Empty (right
+    * schema) when no committed batch carries fingerprints.
+    */
+  def committedWindowFps(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("window_fp", LongType),
+      StructField("batch", IntegerType)))
+    val committed = lastSnapshot(spark, root).map(_.committedBatches)
+      .getOrElse(Set.empty)
+    if (committed.isEmpty || !fs(spark, root).exists(new Path(windowsDir(root))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .select(col("window_fp"))
+    else spark.read.schema(schema).parquet(windowsDir(root))
+      .filter(col("batch").isin(committed.toSeq.sorted: _*))
+      .select(col("window_fp"))
   }
 
   /** Union KMV sketch over a committed-batch subset (default: all) — k
@@ -344,6 +383,15 @@ object CurationStore {
       .select("batch").collect().map(_.getInt(0)).toSet
     if (committed.subsetOf(haveSketches))
       writeSketch(spark, root, version, unionSketch(spark, root))
+    // window-fingerprint partitions compact as a set union (distinct —
+    // the same fp may appear in several batches)
+    val f = fs(spark, root)
+    val haveWindows = committed.filter(b =>
+      f.exists(new Path(windowsDir(root), s"batch=$b")))
+    if (haveWindows == committed && committed.nonEmpty)
+      committedWindowFps(spark, root).distinct()
+        .write.mode("overwrite")
+        .parquet(new Path(windowsDir(root), s"batch=$version").toString)
     commit(spark, root, StoreSnapshot(
       version = version, parent = prev.version,
       committedBatches = Set(version),
@@ -377,7 +425,7 @@ object CurationStore {
       }
     }
     val dataRemoved = sweep(dataDir(root))
-    val sketchRemoved = sweep(sketchesDir(root))
+    val sketchRemoved = sweep(sketchesDir(root)) + sweep(windowsDir(root))
     val minKept = retained.head.version
     val snapRemoved = f.listStatus(snapshotDir(root)).toSeq.count { st =>
       val name = st.getPath.getName

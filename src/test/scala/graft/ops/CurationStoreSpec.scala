@@ -275,6 +275,36 @@ class CurationStoreSpec extends AnyFunSuite {
     assert(CurationStore.committedSigs(spark, root).count() == 601L)
   }
 
+  test("window-fingerprint tier: committed substrings excised from later batches, through compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-store-wfp").toString
+    val passage = Seq.tabulate(20)(j => f"stored$j%03d").mkString("") // 180 chars
+    val b1 = Seq((1L, passage + "A" + goodText(1)), (2L, goodText(2)))
+    CurationStore.ingestBatch(b1.toDF("doc_id", "text"), root, storeWindowFps = true)
+    // a later shard embedding the committed passage (offset 15, unaligned)
+    val freshTail = Seq.tabulate(12)(j => f"shardTail$j%02d").mkString(" ")
+    val shard = Seq((101L, ("y" * 13) + "! " + passage + "B" + freshTail),
+      (102L, goodText(102))).toDF("doc_id", "text")
+    def excise(): Map[Long, (Long, String)] = Dedup.dedupWindowsAgainst(
+        shard, "text", "doc_id", CurationStore.committedWindowFps(spark, root),
+        CurationStore.WindowLen, CurationStore.WindowSelectBits)
+      .select("doc_id", "n_removed", "cleaned")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val before = excise()
+    assert(before(101L)._1 > 0L,
+      s"sampled committed windows must be excised: ${before(101L)}")
+    assert(before(102L)._1 == 0L, "fresh shard doc untouched")
+    // a second ingest + compaction must leave the fingerprint set (and
+    // therefore the excision decisions) identical
+    CurationStore.ingestBatch(Seq((11L, goodText(11))).toDF("doc_id", "text"),
+      root, storeWindowFps = true)
+    val preFps = CurationStore.committedWindowFps(spark, root)
+      .as[Long].collect().toSet
+    CurationStore.compact(spark, root)
+    assert(CurationStore.committedWindowFps(spark, root)
+      .as[Long].collect().toSet == preFps, "compaction must union the fp set")
+    assert(excise() == before, "excision decisions must be compaction-invariant")
+  }
+
   test("uncommitted partial data is invisible; ingest overwrites it atomically") {
     val root = java.nio.file.Files.createTempDirectory("graft-store2").toString
     // simulate a crashed ingest: partition files exist, no snapshot
