@@ -40,14 +40,16 @@ object StreamingCuration {
       cfg: Curation.Config = Curation.Default,
       minJaccard: Double = 0.9,
       maxBucketWidth: Int = Dedup.DefaultMaxBucketWidth,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      storeWindowFps: Boolean = false): StreamingQuery = {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           CurationStore.ingestBatchIdempotent(batch.toDF(), storeRoot,
-            token = batchId, textCol, idCol, cfg, minJaccard, maxBucketWidth)
+            token = batchId, textCol, idCol, cfg, minJaccard, maxBucketWidth,
+            storeWindowFps)
           match {
             case Some((curated, report)) =>
               curated.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
