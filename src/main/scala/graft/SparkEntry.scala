@@ -503,6 +503,9 @@ object SparkEntry {
       val (_, r2) = graft.ops.CurationStore.ingestBatch(batch2, root,
         cfg = cfg, minJaccard = 0.85)
       val s2 = keptSum(r2.version)
+      // everything above is eager and local — the temp store is garbage now
+      // (repeated bench/verify runs were accumulating parquet under /tmp)
+      graft.util.Files.deleteRecursively(root)
       Seq(
         (r1.batchId, r1.nArrived, r1.nAfterExact, r1.nAfterCorpusDedup,
           r1.nAfterIntraDedup, r1.nCurated, s1),
@@ -548,6 +551,8 @@ object SparkEntry {
       val keptSum3 = s.read.parquet(s"$root/data/batch=${r3.version}")
         .agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0)
       val sketch = st.unionSketch(s, root)
+      // everything above is eager and local — drop the /tmp store
+      graft.util.Files.deleteRecursively(root)
       Seq((r1.nCurated, r2.nCurated, cr.nBatchesCompacted, cr.nSigs,
         pre, post, gr.removedBatchDirs, r3.nArrived, r3.nAfterCorpusDedup,
         r3.nCurated, keptSum3, sketch.length, sketch.last))
@@ -721,10 +726,13 @@ object SparkEntry {
           concat(col("text"), lit(" zz9marker")).as("text"), col("lang"))
       val corpus = docs.unionByName(exactCopies).unionByName(nearCopies)
       // persisted-signature path: the MinHash pass runs once, not 4×; the
-      // small cached sig table lives until session end (release handle not
-      // callable here — the consuming action happens in the driver)
-      graft.ops.Curation.curatePersisted(corpus,
-          cfg = graft.ops.Curation.Config(minJaccard = 0.8)).df
+      // sig cache is released right after the consuming action completes
+      // (DeferredRelease — the harness forces the plan exactly once, and an
+      // early release would merely recompute)
+      val curated = graft.ops.Curation.curatePersisted(corpus,
+          cfg = graft.ops.Curation.Config(minJaccard = 0.8))
+      graft.util.DeferredRelease.afterNextAction(s)(curated.releaseSignatures())
+      curated.df
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_curated"),
           sum(when(col("doc_id") >= 2000000L, 1L).otherwise(0L)).as("n_planted_survivors"))
@@ -952,7 +960,11 @@ object SparkEntry {
       val docs = Fixtures.generate(s, 1500).toDF()
       val teacher = QualityFilter.run(Fixtures.generate(s, 1500)).toDF()
         .select(col("commit"), col("keep"))
-      val labeled = docs.join(teacher, Seq("commit"))
+      // the teacher pipeline is the expensive branch and `labeled` is
+      // consumed twice (featurize inside train + the scoring pass below) —
+      // persist across the two, released after the consuming action
+      val labeled = docs.join(teacher, Seq("commit")).persist()
+      graft.util.DeferredRelease.afterNextAction(s)(labeled.unpersist())
       val m = graft.ml.QualityClassifier.train(labeled, "content", "keep", iters = 24)
       labeled
         .withColumn("score", graft.ml.QualityClassifier.scoreCol(m, col("content")))
@@ -992,6 +1004,9 @@ object SparkEntry {
       val (nTrain, nVal, nTest) = Prepare.splitCounts(cleaned)
       val (_, valSet, test) = Prepare.stratifiedSplit(cleaned)
       val (nVal1p, nTest1p) = Prepare.subsetCounts(valSet, test)
+      // every consumer above ran eagerly; the returned rows are local —
+      // release the cache now instead of pinning it for the session
+      cleaned.unpersist()
       import s.implicits._
       Seq(
         ("train", nTrain, kept.length.toLong),

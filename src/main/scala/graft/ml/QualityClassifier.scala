@@ -147,7 +147,12 @@ object QualityClassifier {
       iters: Int = 40, lr: Double = 4.0, l2: Double = 1e-6): Model = {
     require(iters > 0 && lr > 0, s"iters=$iters lr=$lr")
     val spark = df.sparkSession
-    val feats = featurize(df, textCol, labelCol).persist()
+    // persist the DESERIALIZED object RDD, not the Dataset: `.rdd` inside
+    // the loop re-decoded every FeatRow from the InternalRow cache once per
+    // iteration (iters × corpus decodes); hoisted + persisted, each
+    // gradient pass reads live JVM objects
+    val feats = featurize(df, textCol, labelCol).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = feats.count()
     require(n > 0, "empty training sample")
     require(n < (1L << 35), s"fixed-point gradient headroom exceeded: $n rows")
@@ -155,7 +160,7 @@ object QualityClassifier {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(w)
-      val grad = feats.rdd.treeAggregate(new Array[Long](Dim + 1))(
+      val grad = feats.treeAggregate(new Array[Long](Dim + 1))(
         seqOp = (g, row) => {
           val wv = bc.value
           var z = wv(Dim)

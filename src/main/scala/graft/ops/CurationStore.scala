@@ -199,18 +199,34 @@ object CurationStore {
     val prev = lastSnapshot(spark, root)
     val version = prev.map(_.version + 1).getOrElse(1)
 
-    val nArrived = batch.count()
     // every stage below is referenced at least twice (its own lineage
     // count + the next stage's plan, and the LSH plans reference their
     // inputs up to 4×), so each is persisted for the ingest's lifetime —
-    // state is batch-scale by contract, released before returning
-    val exact = Dedup.dropExactDups(batch, textCol, idCol)
+    // state is batch-scale by contract, released before returning.
+    //
+    // Lineage counts ride existing jobs instead of one count() action per
+    // number (r6: the ingest ran 7 driver actions; an action on this tiny
+    // multi-stage plan costs far more in scheduling than in data):
+    //  - |batch| = Σ n_copies and |exact survivors| = |groups| (ids are
+    //    unique by the store contract), so ONE aggregation over the
+    //    exact-dup groups yields both;
+    //  - nAfterIntra / nCurated are observe() metrics on the single linear
+    //    chain the signature write materialises (each node is referenced
+    //    exactly once in that plan, so the metric is the row count).
+    val groups = Dedup.exactDupGroups(batch, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = batch
+      .join(groups.select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = Dedup.signatures(exact, textCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](exact, sigs)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](groups, exact, sigs)
     try {
-      val nAfterExact = exact.count()
+      val lineage = groups
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(col("n_copies")), lit(0L)).as("n_rows")).head()
+      val nAfterExact = lineage.getLong(0)
+      val nArrived = lineage.getLong(1)
       // 3. against the committed corpus store (skip when store is empty)
       val afterCorpus = (prev match {
         case Some(s) if s.committedBatches.nonEmpty =>
@@ -223,22 +239,30 @@ object CurationStore {
       val nAfterCorpus = afterCorpus.count()
       // 4. intra-batch, among the docs that survived the store check
       val sigsAC = sigs.join(afterCorpus.select(col(idCol)), Seq(idCol), "left_semi")
+      val obsIntra = org.apache.spark.sql.Observation()
+      val obsCurated = org.apache.spark.sql.Observation()
       val afterIntra = Dedup.dropNearDupsFromSigs(afterCorpus, sigsAC, idCol,
-        minJaccard, maxBucketWidth).persist(StorageLevel.MEMORY_AND_DISK)
+        minJaccard, maxBucketWidth)
+        .observe(obsIntra, count(lit(1)).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       cached += afterIntra
-      val nAfterIntra = afterIntra.count()
       // 5. quality gate
       val curated = afterIntra.filter(
         TextOps.alnumRatio(col(textCol)) >= cfg.minAlnumRatio &&
           TextOps.tokenCount(col(textCol)).between(cfg.minTokens, cfg.maxTokens))
-      // 6. survivors' signatures become the new committed batch partition
+      // 6. survivors' signatures become the new committed batch partition.
+      // This write is the FIRST (and only-once, through the persist) full
+      // materialisation of afterIntra/curated — the two observe() metrics
+      // on that single-reference chain are their exact row counts.
       val curatedSigs = sigs
-        .join(curated.select(col(idCol)), Seq(idCol), "left_semi")
+        .join(curated.observe(obsCurated, count(lit(1)).as("n"))
+          .select(col(idCol)), Seq(idCol), "left_semi")
       curatedSigs.write.mode("overwrite")
         .parquet(new Path(dataDir(root), s"batch=$version").toString)
-      // count from the just-written partition (tiny; also validates the write)
-      val nCurated = spark.read
-        .parquet(new Path(dataDir(root), s"batch=$version").toString).count()
+      // a metric key can be ABSENT (not zero) when AQE's empty-relation
+      // propagation eliminates the CollectMetrics subtree — zero rows
+      val nAfterIntra = obsIntra.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nCurated = obsCurated.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
       // per-batch KMV sketch of the curated texts (k longs) — visible only
       // once the snapshot commits, same crash discipline as data/
       writeSketch(spark, root, version,
@@ -369,14 +393,17 @@ object CurationStore {
     val version = prev.version + 1
     val total = prev.counts.filter(c => committed(c._1)).map(_._2).sum
     val nFiles = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    // nSigs rides the rewrite as an observe() metric (the compacted rows
+    // flow through exactly once) instead of a separate read-back count job
+    val obsSigs = org.apache.spark.sql.Observation()
     spark.read.parquet(dataDir(root))
       .filter(col("batch").isin(committed.toSeq.sorted: _*))
       .drop("batch")
+      .observe(obsSigs, count(lit(1)).as("n"))
       .coalesce(nFiles)
       .write.mode("overwrite")
       .parquet(new Path(dataDir(root), s"batch=$version").toString)
-    val nSigs = spark.read
-      .parquet(new Path(dataDir(root), s"batch=$version").toString).count()
+    val nSigs = obsSigs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     // union the inputs' sketches when every input has one (a store created
     // before sketches existed compacts fine, just without an estimate)
     val haveSketches = batchSketches(spark, root)
@@ -418,10 +445,10 @@ object CurationStore {
       if (!f.exists(p)) 0
       else f.listStatus(p).toSeq.count { st =>
         val name = st.getPath.getName
-        name.startsWith("batch=") && {
-          val v = name.stripPrefix("batch=").toInt
-          v <= lastVersion && !keep(v) && f.delete(st.getPath, true)
-        }
+        // toIntOption: a non-numeric batch= name (stray dir, hive default
+        // partition) is skipped, not a NumberFormatException mid-sweep
+        name.startsWith("batch=") && name.stripPrefix("batch=").toIntOption
+          .exists(v => v <= lastVersion && !keep(v) && f.delete(st.getPath, true))
       }
     }
     val dataRemoved = sweep(dataDir(root))

@@ -1,0 +1,45 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `.explain("formatted")` for named SparkEntry queries to files —
+  * the round-6 plan-evidence artifact (plans/r06/<query>_<tag>.txt).
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt -batch \
+  *     "runMain graft.tools.PlanDump <outDir> <tag> q01_pricing_summary ..."
+  *
+  * Queries that do eager work inside their builder (q32/q53/q56/q64) run
+  * that work here too; their "plan" is the final (tiny) output plan, so the
+  * interesting evidence for those lives in the per-stage timings instead.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: PlanDump <outDir> <tag> <query>...")
+    val outDir = args(0)
+    val tag = args(1)
+    val names = args.drop(2).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val plan = fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), plan)
+      println(s"[plandump] wrote $outDir/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}

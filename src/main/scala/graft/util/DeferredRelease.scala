@@ -1,0 +1,62 @@
+package graft.util
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Release persisted caches AFTER the action that consumes them — the
+  * missing half of the "a lazy library function must not hide a persist the
+  * caller can't release" discipline for call sites that hand a lazy plan to
+  * a harness they don't control (SparkEntry.queries → Bench/Verify force
+  * the plan exactly once).
+  *
+  * `afterNextAction` enqueues a release callback; a QueryExecutionListener
+  * (installed once per session) drains the queue when the NEXT action on
+  * the session completes (success or failure). Within a sequential harness
+  * that is exactly the action that consumed the returned plan, so the cache
+  * lives precisely as long as it is useful. Without this, every
+  * `.persist()` a query builder leaves behind stays pinned in the
+  * CacheManager for the session's lifetime — 74 queries later the
+  * accumulated storage is pure GC pressure (the round-5 bench-regression
+  * root cause).
+  *
+  * ONLY safe for `persist()`-backed caches: unpersisting one early merely
+  * recomputes (correct, slower). NEVER enqueue a `localCheckpoint` release
+  * — its lineage is truncated, so losing the blocks is unrecoverable.
+  * Callbacks run on the listener bus thread (async, off the timed path);
+  * exceptions are swallowed by Spark's listener machinery by design.
+  */
+object DeferredRelease {
+
+  private val installed = ConcurrentHashMap.newKeySet[Int]()
+  private val pending = new ConcurrentLinkedQueue[() => Unit]()
+
+  def afterNextAction(spark: SparkSession)(release: => Unit): Unit = {
+    install(spark)
+    pending.add(() => release)
+  }
+
+  private def drain(): Unit = {
+    var cb = pending.poll()
+    while (cb != null) {
+      try cb() catch { case _: Throwable => () }
+      cb = pending.poll()
+    }
+  }
+
+  private def install(spark: SparkSession): Unit = {
+    if (installed.add(System.identityHashCode(spark))) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit = drain()
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = drain()
+      })
+    }
+  }
+
+  /** Test hook: number of callbacks not yet drained. */
+  private[graft] def pendingCount: Int = pending.size()
+}

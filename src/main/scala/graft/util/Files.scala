@@ -1,0 +1,28 @@
+package graft.util
+
+import java.nio.file.{Files => JFiles, Path, Paths}
+import java.util.Comparator
+
+/** Tiny local-filesystem helpers for ephemeral stores the query builders
+  * create under java.io.tmpdir (q53/q64 lifecycle stores). Local-path only
+  * on purpose: persistent stores live behind the Hadoop FileSystem API in
+  * [[graft.ops.CurationStore]].
+  */
+object Files {
+
+  /** Best-effort recursive delete (missing path is a no-op; errors are
+    * swallowed — cleanup must never fail the query that already computed
+    * its result).
+    */
+  def deleteRecursively(root: String): Unit =
+    try {
+      val p: Path = Paths.get(root)
+      if (JFiles.exists(p)) {
+        val stream = JFiles.walk(p)
+        try {
+          stream.sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => try JFiles.deleteIfExists(f) catch { case _: Throwable => () })
+        } finally stream.close()
+      }
+    } catch { case _: Throwable => () }
+}
