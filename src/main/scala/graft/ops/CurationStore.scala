@@ -77,6 +77,11 @@ object CurationStore {
     */
   val SketchK: Int = 256
 
+  /** Target signature rows per parquet file for ingest writes (~0.5 GB at
+    * 64-long signatures) — same goal as compact()'s targetRowsPerFile.
+    */
+  val SigRowsPerFile: Long = 1L << 20
+
   /** Window length / selection density of the per-batch window-fingerprint
     * partitions (the substring-dedup tier; see [[committedWindowFps]]).
     */
@@ -257,7 +262,13 @@ object CurationStore {
       val curatedSigs = sigs
         .join(curated.observe(obsCurated, count(lit(1)).as("n"))
           .select(col(idCol)), Seq(idCol), "left_semi")
-      curatedSigs.write.mode("overwrite")
+      // size the batch partition's files from the known upper bound
+      // (guide §6: aim for ~1M sig rows ≈ 0.5 GB per file, same target as
+      // compact) — the broadcast-semi-join output otherwise keeps the
+      // cached input's partitioning and commits one tiny file per task
+      val nFiles = math.max(1L,
+        (nAfterCorpus + SigRowsPerFile - 1) / SigRowsPerFile).toInt
+      curatedSigs.coalesce(nFiles).write.mode("overwrite")
         .parquet(new Path(dataDir(root), s"batch=$version").toString)
       // a metric key can be ABSENT (not zero) when AQE's empty-relation
       // propagation eliminates the CollectMetrics subtree — zero rows

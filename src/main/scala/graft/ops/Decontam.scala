@@ -37,12 +37,16 @@ object Decontam {
   def wordNgramHashes(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
     require(n > 0, s"n must be positive: $n")
-    val toks = split(trim(col(textCol)), "\\s+")
     // build + dedup the gram array ROW-LOCALLY (array_distinct computes
     // exactly the per-doc distinct the old explode+distinct shuffled for),
-    // then explode — the whole op is one narrow projection, zero shuffles
-    df.filter(graft.ops.TextOps.tokenCount(col(textCol)) >= n)
-      .select(col(idCol), toks.as("__toks"))
+    // then explode — the whole op is one narrow projection, zero shuffles.
+    // trim/split run ONCE per row (the old `filter(tokenCount >= n)`
+    // re-evaluated the \s+ split inside the predicate); for n >= 1 the row
+    // set is identical (tokenCount = 0 iff trimmed length = 0).
+    df.select(col(idCol), trim(col(textCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol), split(col("__t"), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= n)
       .select(col(idCol),
         explode(array_distinct(transform(
           sequence(lit(0), size(col("__toks")) - n),

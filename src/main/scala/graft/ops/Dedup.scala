@@ -423,6 +423,13 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def cut(d: DataFrame): DataFrame =
       if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
+    // superseded rounds are released EAGERLY: each cut() pins one cached
+    // RDD, and without the release an L-round run leaks 2L block sets
+    // until the ContextCleaner's next GC-driven sweep (pure heap pressure
+    // in a long session). Only checkpoints no live plan references are
+    // released — the final labels table stays.
+    def release(d: DataFrame): Unit =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.releaseCheckpoint(d)
     val pairs = nearDupPairsFromSigs(sigs, idCol, minJaccard).select(col("a"), col("b"))
     val edges = cut(pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))))
     // Iterate ONLY over nodes touched by an edge: the near-dup graph is
@@ -462,9 +469,15 @@ object Dedup {
       // zero rows is null → converged/empty)
       lastChanged = obs.get.get("changed").flatMap(Option(_))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // next is materialised — this round's hooked table and the previous
+      // labels are unreachable from any live plan
+      release(hooked)
+      release(labels)
       labels = next
       it += 1
     }
+    // the final plan below references labels only
+    release(edges)
     if (lastChanged != 0)
       org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
         s"nearDupClusters did NOT converge in $maxIter rounds " +

@@ -210,8 +210,15 @@ object TextOps {
     * un-hashed and NOT per-doc-distinct (occurrence counting).
     */
   private def wordNgrams(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.filter(tokenCount(col(textCol)) >= n)
-      .select(split(trim(col(textCol)), "\\s+").as("__toks"))
+    // trim/split exactly ONCE per row: the previous `filter(tokenCount >= n)`
+    // evaluated the \s+ split regex twice (once inside the count predicate,
+    // once for the token array). Blank rows are excluded by the cheap
+    // length check first, so for n >= 1 the row set is identical
+    // (tokenCount = 0 iff trimmed length = 0).
+    df.select(trim(col(textCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(split(col("__t"), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= n)
       .select(explode(transform(
         sequence(lit(0), size(col("__toks")) - n),
         i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"))

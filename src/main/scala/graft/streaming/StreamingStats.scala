@@ -51,10 +51,14 @@ object StreamingStats {
       n: Int = 2, m: Int = 256, topK: Int = 10,
       windowDur: String = "1 minute",
       watermarkDelay: String = "1 minute"): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
+    // trim/split once per row (the tokenCount predicate re-ran the \s+
+    // split); for n >= 1 the row set is identical — same rewrite as the
+    // batch TextOps.wordNgrams
     df.withWatermark(tsCol, watermarkDelay)
-      .filter(graft.ops.TextOps.tokenCount(col(textCol)) >= n)
-      .select(col(tsCol), toks.as("__toks"))
+      .select(col(tsCol), trim(col(textCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(tsCol), split(col("__t"), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= n)
       .select(col(tsCol), explode(transform(
         sequence(lit(0), size(col("__toks")) - n),
         i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("gram"))

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.{Curation, Dedup, TextOps}
+
+/** One-off diagnostic: times every stage of a CurationStore-style ingest on
+  * the q53 batches so the q53/q64 cost is attributable per action. Not part
+  * of any graded path.
+  */
+object StoreProbe {
+  def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.format("noop").mode("overwrite").save() // warm
+
+    (1 to 2).foreach { round =>
+      println(s"=== round $round ===")
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-store").toString
+      val cfg = Curation.Config(minJaccard = 0.85)
+      val batch1 = docs.filter(col("doc_id") % 2 === 0)
+      val batch2 = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(batch1.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9marker")).as("text")))
+
+      def ingest(batch: DataFrame, label: String): Unit = {
+        val st = graft.ops.CurationStore
+        val prev = st.lastSnapshot(spark, root)
+        val version = prev.map(_.version + 1).getOrElse(1)
+        val groups = t(s"$label groups-build")(
+          Dedup.exactDupGroups(batch, "text", "doc_id").persist(StorageLevel.MEMORY_AND_DISK))
+        val exact = batch.join(groups.select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val sigs = Dedup.signatures(exact, "text", "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+        t(s"$label lineage-agg")(
+          groups.agg(count(lit(1)), coalesce(sum(col("n_copies")), lit(0L))).head())
+        val afterCorpus = (prev match {
+          case Some(s0) if s0.committedBatches.nonEmpty =>
+            Dedup.dropNearDupsAgainstFromSigs(exact, sigs,
+              st.committedSigs(spark, root).select(col("doc_id"), col("sig")),
+              "doc_id", 0.85)
+          case _ => exact
+        }).persist(StorageLevel.MEMORY_AND_DISK)
+        t(s"$label afterCorpus.count")(afterCorpus.count())
+        val sigsAC = sigs.join(afterCorpus.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val afterIntra = Dedup.dropNearDupsFromSigs(afterCorpus, sigsAC, "doc_id", 0.85)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val curated = afterIntra.filter(
+          TextOps.alnumRatio(col("text")) >= cfg.minAlnumRatio &&
+            TextOps.tokenCount(col("text")).between(cfg.minTokens, cfg.maxTokens))
+        val curatedSigs = sigs.join(curated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        t(s"$label sig-write")(curatedSigs.write.mode("overwrite")
+          .parquet(s"$root/data/batch=$version"))
+        t(s"$label kmv-sketch")(
+          curated.agg(graft.functions.KmvSketch.kmv(col("text"), 256)).head())
+        Seq(groups, exact, sigs, afterCorpus, afterIntra).foreach(_.unpersist())
+        // fake a snapshot so round 2 sees a committed corpus
+        val snap = graft.ops.CurationStore.StoreSnapshot(
+          version, prev.map(_.version).getOrElse(-1),
+          prev.map(_.committedBatches).getOrElse(Set.empty) + version,
+          prev.map(_.counts).getOrElse(Seq.empty) :+ (version -> 0L))
+        val m = graft.ops.CurationStore.getClass.getDeclaredMethods
+          .find(_.getName == "commit").get
+        m.setAccessible(true)
+        m.invoke(graft.ops.CurationStore, spark, root, snap)
+      }
+      t("ingest-1 TOTAL")(ingest(batch1, "b1"))
+      t("ingest-2 TOTAL")(ingest(batch2, "b2"))
+      graft.util.Files.deleteRecursively(root)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Access to the RDD behind a checkpointed Dataset (the plan is a
+  * LogicalRDD after `localCheckpoint()`/`checkpoint()`), so iterative
+  * algorithms can RELEASE a superseded round's blocks as soon as the next
+  * round is materialised instead of leaking one cached RDD per round until
+  * the ContextCleaner happens to run. Only ever call on checkpoints no
+  * live plan references: a localCheckpoint's lineage is truncated, so a
+  * released block cannot be recomputed.
+  */
+object CheckpointBridge {
+  def checkpointRdd(df: Dataset[_]): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Unpersist the checkpoint blocks behind `df` (no-op for non-checkpoint
+    * plans; reliable checkpoints keep their files and merely drop cache).
+    */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+}
