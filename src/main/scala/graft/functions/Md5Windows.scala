@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression for the md5 (oracle) form of unaligned window dedup
+  * (graft.ops.Dedup.windowDupGroups, SparkEntry q52): the lowercase md5
+  * hex of EVERY `windowLen`-char window of the input, keeping only hashes
+  * that start with `hexPrefix` — bit-identical to the SQL chain
+  *
+  *   explode(sequence(0, length(text) - windowLen)) as k
+  *   md5(substr(text, k + 1, windowLen)) ... startsWith(hexPrefix)
+  *
+  * but computed in ONE row-local pass. Why an Expression: the SQL chain
+  * materialises one generator row per character position, slices a fresh
+  * UTF8String per window and calls MessageDigest.getInstance per md5;
+  * here the digest object is created once per ROW and each window is
+  * hashed directly from the shared UTF-8 byte buffer. Positions are code
+  * points (exactly Spark's `length`/`substr` semantics), so the value is
+  * identical for any input, including non-BMP text — pinned by a
+  * randomized equivalence spec against the SQL form.
+  */
+case class Md5WindowsExpr(child: Expression, windowLen: Int, hexPrefix: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"md5_windows requires a string argument, got ${child.dataType}")
+    else if (windowLen <= 0)
+      TypeCheckResult.TypeCheckFailure(s"windowLen must be positive: $windowLen")
+    else if (hexPrefix.isEmpty ||
+      !hexPrefix.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+      TypeCheckResult.TypeCheckFailure(s"hexPrefix must be lowercase hex: $hexPrefix")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5WindowsExpr.compute(input.asInstanceOf[UTF8String], windowLen, hexPrefix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val prefixRef = ctx.addReferenceObj("hexPrefix", hexPrefix, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5WindowsExpr.compute($c, $windowLen, $prefixRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5WindowsExpr {
+
+  private val HexChars = "0123456789abcdef".toCharArray.map(_.toByte)
+
+  /** Static so generated code calls it directly. Selected window hashes in
+    * position order, duplicates kept (occurrence counts need them).
+    */
+  def compute(s: UTF8String, windowLen: Int, hexPrefix: String): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // code-point start offsets (Spark's length/substr count code points):
+    // offsets(i) = byte offset of the i-th code point; offsets(nChars) = end
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    if (nChars < windowLen) return new GenericArrayData(Array.empty[Any])
+    val offsets = new Array[Int](nChars + 1)
+    if (nBytes == nChars) { // pure ASCII: identity offsets
+      i = 0
+      while (i <= nChars) { offsets(i) = i; i += 1 }
+    } else {
+      var ci = 0
+      i = 0
+      while (i < nBytes) {
+        offsets(ci) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        ci += 1
+      }
+      offsets(nChars) = nBytes
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nPrefix = hexPrefix.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var k = 0
+    val last = nChars - windowLen
+    while (k <= last) {
+      val from = offsets(k)
+      val until = offsets(k + windowLen)
+      md.reset()
+      md.update(bytes, from, until - from)
+      val digest = md.digest()
+      // prefix check on the nibbles before materialising the hex string
+      var ok = true
+      var p = 0
+      while (ok && p < nPrefix) {
+        val nib = if ((p & 1) == 0) (digest(p >> 1) >> 4) & 0xf
+          else digest(p >> 1) & 0xf
+        ok = HexChars(nib) == hexPrefix.charAt(p).toByte
+        p += 1
+      }
+      if (ok) {
+        val hex = new Array[Byte](32)
+        var d = 0
+        while (d < 16) {
+          hex(2 * d) = HexChars((digest(d) >> 4) & 0xf)
+          hex(2 * d + 1) = HexChars(digest(d) & 0xf)
+          d += 1
+        }
+        out += UTF8String.fromBytes(hex)
+      }
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column helper (Spark 4 classic Column↔Expression bridge). */
+  def md5_windows(c: Column, windowLen: Int, hexPrefix: String): Column =
+    ColumnBridge.column(
+      Md5WindowsExpr(ColumnBridge.expression(c), windowLen, hexPrefix))
+}

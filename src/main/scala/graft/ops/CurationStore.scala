@@ -233,15 +233,17 @@ object CurationStore {
       val nAfterExact = lineage.getLong(0)
       val nArrived = lineage.getLong(1)
       // 3. against the committed corpus store (skip when store is empty)
-      val afterCorpus = (prev match {
-        case Some(s) if s.committedBatches.nonEmpty =>
-          Dedup.dropNearDupsAgainstFromSigs(exact, sigs,
-            committedSigs(spark, root, idCol).select(col(idCol), col("sig")),
-            idCol, minJaccard, maxBucketWidth)
-        case _ => exact
-      }).persist(StorageLevel.MEMORY_AND_DISK)
+      val storeNonEmpty = prev.exists(_.committedBatches.nonEmpty)
+      val afterCorpus = (if (storeNonEmpty)
+        Dedup.dropNearDupsAgainstFromSigs(exact, sigs,
+          committedSigs(spark, root, idCol).select(col(idCol), col("sig")),
+          idCol, minJaccard, maxBucketWidth)
+      else exact).persist(StorageLevel.MEMORY_AND_DISK)
       cached += afterCorpus
-      val nAfterCorpus = afterCorpus.count()
+      // an empty store drops nothing: afterCorpus IS exact, whose count is
+      // already known — no extra action for the first ingest
+      val nAfterCorpus =
+        if (storeNonEmpty) afterCorpus.count() else nAfterExact
       // 4. intra-batch, among the docs that survived the store check
       val sigsAC = sigs.join(afterCorpus.select(col(idCol)), Seq(idCol), "left_semi")
       val obsIntra = org.apache.spark.sql.Observation()

@@ -632,6 +632,25 @@ object Dedup {
     require(windowLen > 0, s"windowLen must be positive: $windowLen")
     require(hexPrefix.nonEmpty && hexPrefix.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       s"hexPrefix must be lowercase hex: $hexPrefix")
+    // ONE row-local pass (native Md5WindowsExpr) instead of a generator row
+    // per character position + per-window substr/md5 — bit-identical hashes
+    // (pinned by the randomized parity spec vs [[windowDupGroupsReference]])
+    df.filter(length(col(textCol)) >= windowLen)
+      .select(col(idCol),
+        explode(graft.functions.Md5WindowsExpr
+          .md5_windows(col(textCol), windowLen, hexPrefix)).as("window_hash"))
+      .groupBy(col("window_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("keeper_id"))
+      .filter(col("n_occurrences") > 1)
+  }
+
+  /** The SQL-chain formulation of [[windowDupGroups]], kept as the parity
+    * reference for the spec pinning the native expression identical to it.
+    */
+  private[graft] def windowDupGroupsReference(df: DataFrame, textCol: String,
+      idCol: String, windowLen: Int, hexPrefix: String): DataFrame =
     df.filter(length(col(textCol)) >= windowLen)
       .select(col(idCol), col(textCol),
         explode(sequence(lit(0L), length(col(textCol)).cast("long") - windowLen)).as("k"))
@@ -643,7 +662,6 @@ object Dedup {
         count(lit(1)).as("n_occurrences"),
         min(col(idCol)).as("keeper_id"))
       .filter(col("n_occurrences") > 1)
-  }
 
   /** Scale form of [[windowDupGroups]]: O(len) rolling Karp–Rabin window
     * fingerprints (native codegen `WindowFingerprintsExpr`), selected where

@@ -320,4 +320,53 @@ class FunctionsSpec extends AnyFunSuite {
     // broadcast path
     assert(ModelArtifacts.broadcastMapping(spark, dir).value.numLabels == m.numLabels)
   }
+
+  test("native md5_windows is bit-identical to the explode+substr+md5 SQL chain") {
+    // randomized strings over an alphabet with repeats (so windows collide),
+    // plus multi-byte (2- and 3-byte UTF-8) and non-BMP (4-byte) characters
+    // — positions must be CODE POINTS, exactly Spark's length/substr units
+    val rng = new java.util.SplittableRandom(11L)
+    val alphabet = "abcde 01é漢😀" // includes U+1F600 (surrogate pair)
+    def randStr(n: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val c = alphabet.charAt(rng.nextInt(alphabet.length))
+        // keep surrogates paired
+        if (Character.isHighSurrogate(c)) sb.append("😀")
+        else if (!Character.isLowSurrogate(c)) sb.append(c)
+        i += 1
+      }
+      sb.result()
+    }
+    val texts = (1 to 40).map(_ => randStr(rng.nextInt(120))) ++
+      Seq("", "a", "a" * 39, "a" * 40, "a" * 41, "é" * 50, "😀" * 45)
+    for (windowLen <- Seq(3, 40); prefix <- Seq("0", "a", "0f")) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      def collectHashes(d: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+        d.as[(Long, String)].collect().toSeq.sorted
+      val native = collectHashes(df
+        .select($"id", explode(Md5WindowsExpr.md5_windows($"t", windowLen, prefix)).as("h")))
+      val sql = collectHashes(df
+        .filter(length($"t") >= windowLen)
+        .select($"id", $"t",
+          explode(sequence(lit(0L), length($"t").cast("long") - windowLen)).as("k"))
+        .select($"id", md5($"t".substr($"k".cast("int") + 1, lit(windowLen))).as("h"))
+        .filter($"h".startsWith(prefix)))
+      assert(native == sql, s"windowLen=$windowLen prefix=$prefix")
+    }
+    // operator-level parity: the rewritten windowDupGroups equals the kept
+    // SQL-chain reference on a corpus with planted unaligned duplicates
+    val base = (1 to 30).map(i => (i.toLong, randStr(80 + rng.nextInt(40))))
+    val copiers = base.filter(_._1 % 5 == 0).map { case (id, t) =>
+      (id + 1000L, "##prefix## " + t.substring(0, math.min(60, t.length)) + " tail")
+    }
+    val corpus = (base ++ copiers).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.windowDupGroups(corpus, "text", "doc_id", 20, "0")
+      .orderBy("window_hash").collect().toSeq
+    val ref = graft.ops.Dedup.windowDupGroupsReference(corpus, "text", "doc_id", 20, "0")
+      .orderBy("window_hash").collect().toSeq
+    assert(got == ref)
+    assert(got.nonEmpty, "planted duplicates must produce duplicated windows")
+  }
 }
