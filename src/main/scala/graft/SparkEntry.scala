@@ -998,15 +998,19 @@ object SparkEntry {
     "q32_prepare_splits" -> ((s, _) => {
       import graft.ingest.Prepare
       val corpus = graft.ingest.TaggedFixtures.consolidated(s, 800)
-      val capped = Prepare.capSource(corpus, "finer_139", 1000)
+      // capped is consumed twice (the rare-entity count collect inside
+      // dropRareEntities + the cleaned materialisation) — without the
+      // persist the 5-source consolidation generates twice
+      val capped = Prepare.capSource(corpus, "finer_139", 1000).persist()
       val (cleaned0, kept, dropped) = Prepare.dropRareEntities(capped, threshold = 50)
       val cleaned = cleaned0.cache()
       val (nTrain, nVal, nTest) = Prepare.splitCounts(cleaned)
       val (_, valSet, test) = Prepare.stratifiedSplit(cleaned)
       val (nVal1p, nTest1p) = Prepare.subsetCounts(valSet, test)
       // every consumer above ran eagerly; the returned rows are local —
-      // release the cache now instead of pinning it for the session
+      // release the caches now instead of pinning them for the session
       cleaned.unpersist()
+      capped.unpersist()
       import s.implicits._
       Seq(
         ("train", nTrain, kept.length.toLong),

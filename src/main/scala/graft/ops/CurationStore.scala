@@ -357,19 +357,37 @@ object CurationStore {
     */
   def unionSketch(spark: SparkSession, root: String,
       batches: Option[Seq[Int]] = None): Array[Long] = {
-    val all = batchSketches(spark, root)
+    // ONE collect of #batches × k longs, union driver-side: the k-bounded
+    // unsigned-min set union is order-free, so this is bit-identical to the
+    // kmv_union aggregate (same KmvSketchAgg.add kernel) without paying a
+    // Spark aggregation job for a kilobyte-scale input
+    val rows = batchSketches(spark, root).select(col("batch"), col("kmv")).collect()
     val subset = batches match {
       case Some(bs) =>
-        val have = all.select("batch").collect().map(_.getInt(0)).toSet
+        val have = rows.map(_.getInt(0)).toSet
         val missing = bs.filterNot(have)
         require(missing.isEmpty,
           s"no sketch for committed batches ${missing.mkString(",")} " +
             "(pre-sketch store version?)")
-        all.filter(col("batch").isin(bs: _*))
-      case None => all
+        val want = bs.toSet
+        rows.filter(r => want(r.getInt(0)))
+      case None => rows
     }
-    subset.agg(graft.functions.KmvSketch.kmvUnion(col("kmv"), SketchK).as("u"))
-      .head().getSeq[Long](0).toArray
+    val buf = new java.util.TreeSet[java.lang.Long](
+      graft.functions.KmvSketchAgg.UnsignedOrder)
+    subset.foreach { r =>
+      val s = r.getSeq[Long](1)
+      var i = 0
+      while (i < s.length) {
+        graft.functions.KmvSketchAgg.add(buf, s(i), SketchK)
+        i += 1
+      }
+    }
+    val out = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
   }
 
   /** Distinct curated documents (by text) across a batch subset, from the
