@@ -234,16 +234,14 @@ object CurationStore {
       val nArrived = lineage.getLong(1)
       // 3. against the committed corpus store (skip when store is empty)
       val storeNonEmpty = prev.exists(_.committedBatches.nonEmpty)
+      val obsCorpus = org.apache.spark.sql.Observation()
       val afterCorpus = (if (storeNonEmpty)
         Dedup.dropNearDupsAgainstFromSigs(exact, sigs,
           committedSigs(spark, root, idCol).select(col(idCol), col("sig")),
           idCol, minJaccard, maxBucketWidth)
+          .observe(obsCorpus, count(lit(1)).as("n"))
       else exact).persist(StorageLevel.MEMORY_AND_DISK)
       cached += afterCorpus
-      // an empty store drops nothing: afterCorpus IS exact, whose count is
-      // already known — no extra action for the first ingest
-      val nAfterCorpus =
-        if (storeNonEmpty) afterCorpus.count() else nAfterExact
       // 4. intra-batch, among the docs that survived the store check
       val sigsAC = sigs.join(afterCorpus.select(col(idCol)), Seq(idCol), "left_semi")
       val obsIntra = org.apache.spark.sql.Observation()
@@ -267,13 +265,25 @@ object CurationStore {
       // size the batch partition's files from the known upper bound
       // (guide §6: aim for ~1M sig rows ≈ 0.5 GB per file, same target as
       // compact) — the broadcast-semi-join output otherwise keeps the
-      // cached input's partitioning and commits one tiny file per task
+      // cached input's partitioning and commits one tiny file per task.
+      // nAfterExact bounds every later stage and is known BEFORE the write
+      // (the post-corpus count rides the write itself, below).
       val nFiles = math.max(1L,
-        (nAfterCorpus + SigRowsPerFile - 1) / SigRowsPerFile).toInt
+        (nAfterExact + SigRowsPerFile - 1) / SigRowsPerFile).toInt
       curatedSigs.coalesce(nFiles).write.mode("overwrite")
         .parquet(new Path(dataDir(root), s"batch=$version").toString)
       // a metric key can be ABSENT (not zero) when AQE's empty-relation
-      // propagation eliminates the CollectMetrics subtree — zero rows
+      // propagation eliminates the CollectMetrics subtree — that happens
+      // only when the subtree's own input materialised empty, so zero is
+      // the true count. afterCorpus is referenced by several downstream
+      // branches, but its persist() guarantees each cached block is
+      // computed exactly once (block-level locking), so its observe()
+      // metric is its exact row count even inside the one write job that
+      // materialises the whole chain.
+      val nAfterCorpus =
+        if (storeNonEmpty)
+          obsCorpus.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+        else nAfterExact
       val nAfterIntra = obsIntra.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
       val nCurated = obsCurated.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
       // per-batch KMV sketch of the curated texts (k longs) — visible only

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostic: phase-level timing of the q64 store-compaction
+  * lifecycle (ingest1/ingest2/digest/compact/gc/ingest3/sums/sketch) so
+  * the remaining cost is attributable. Not part of any graded path.
+  */
+object Q64Probe {
+  def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[q64] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val s = spark
+    import s.implicits._
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.format("noop").mode("overwrite").save()
+
+    (1 to 2).foreach { round =>
+      println(s"=== round $round ===")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q64probe").toString
+      val cfg = graft.ops.Curation.Config(minJaccard = 0.85)
+      val st = graft.ops.CurationStore
+      val batch1 = docs.filter(col("doc_id") % 2 === 0)
+      val batch2 = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(batch1.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9marker")).as("text")))
+      def digest(): Long = st.committedSigs(s, root)
+        .agg(coalesce(expr("bit_xor(xxhash64(doc_id, concat_ws(',', sig)))"),
+          lit(0L))).head().getLong(0)
+      val (_, r1) = t("ingest1")(st.ingestBatch(batch1, root, cfg = cfg, minJaccard = 0.85))
+      val (_, r2) = t("ingest2")(st.ingestBatch(batch2, root, cfg = cfg, minJaccard = 0.85))
+      val pre = t("digest-pre")(digest())
+      val cr = t("compact")(st.compact(s, root))
+      val post = t("digest-post")(digest())
+      val gr = t("gc")(st.gc(s, root, retainSnapshots = 1))
+      val batch3 = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qq7marker")).as("text"))
+        .unionByName(docs.select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val (_, r3) = t("ingest3")(st.ingestBatch(batch3, root, cfg = cfg, minJaccard = 0.85))
+      val keptSum3 = t("keptSum3")(s.read.parquet(s"$root/data/batch=${r3.version}")
+        .agg(coalesce(sum(col("doc_id")), lit(0L))).head().getLong(0))
+      val sketch = t("unionSketch")(st.unionSketch(s, root))
+      println(s"[q64] sanity: ${r1.nCurated}/${r2.nCurated}/${cr.nSigs}/$pre/$post/" +
+        s"${gr.removedBatchDirs}/${r3.nCurated}/$keptSum3/${sketch.length}")
+      graft.util.Files.deleteRecursively(root)
+    }
+    spark.stop()
+  }
+}
