@@ -460,6 +460,17 @@ object CurationStore {
       committedWindowFps(spark, root).distinct()
         .write.mode("overwrite")
         .parquet(new Path(windowsDir(root), s"batch=$version").toString)
+    else if (haveWindows.nonEmpty)
+      // PARTIAL coverage (some batches ingested without storeWindowFps):
+      // the existing window-fp partitions are NOT carried into the new
+      // batch, so a later gc retires them and committedWindowFps goes
+      // empty. Loud, because silently dropping the substring-dedup tier
+      // was ADVICE-flagged; re-ingest with storeWindowFps or accept.
+      org.slf4j.LoggerFactory.getLogger("graft.ops.CurationStore").warn(
+        s"compact: window fingerprints exist for batches " +
+          s"${haveWindows.toSeq.sorted.mkString(",")} but not for all of " +
+          s"${committed.toSeq.sorted.mkString(",")} — the window-fp tier is " +
+          "NOT compacted and will be retired by gc (partial coverage)")
     commit(spark, root, StoreSnapshot(
       version = version, parent = prev.version,
       committedBatches = Set(version),

@@ -171,6 +171,10 @@ object TextOps {
     * exceed. Returns the input plus a `bucket` column (null score → null
     * bucket, never silently binned).
     *
+    * NOTE: rows whose `byCol` is null are dropped by the inner threshold
+    * join (no group → no thresholds); only null SCORES in a non-null
+    * group get the null bucket.
+    *
     * `exact = false` (default, the SCALE path) estimates thresholds with
     * `approx_percentile` — a mergeable bounded-state sketch built into
     * Spark, so the threshold aggregation is one |groups|-key agg with
@@ -242,6 +246,15 @@ object TextOps {
     * oracle recomputes the exact top-k from scratch, so a coverage miss
     * would fail the round, not hide). Size `m` ≳ 40× k for comfortable
     * headroom on Zipf-ish corpora. Ties break (count desc, gram asc).
+    *
+    * COST NOTE (deliberate): the gram plan — and hence the input — is
+    * scanned TWICE (sketch pass, then exact recount), like the other
+    * two-pass detection ops (dedupLines, dedupWindows). Persisting
+    * corpus-scale grams is not a 100 TB-safe default; persist the INPUT
+    * at the call site if it is expensive to recompute. The sketch pass is
+    * an EAGER action inside this builder (the candidate set must exist to
+    * build the recount plan) — callers composing the result into a larger
+    * lazy plan get that one job at build time.
     */
   def heavyHitterNgrams(df: DataFrame, textCol: String, n: Int, k: Int,
       m: Int = 4096): DataFrame = {
