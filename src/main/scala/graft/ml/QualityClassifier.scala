@@ -151,11 +151,22 @@ object QualityClassifier {
     // the loop re-decoded every FeatRow from the InternalRow cache once per
     // iteration (iters × corpus decodes); hoisted + persisted, each
     // gradient pass reads live JVM objects
-    val feats = featurize(df, textCol, labelCol).rdd
+    val cachedFeats = featurize(df, textCol, labelCol).rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = feats.count()
+    val n = cachedFeats.count()
     require(n > 0, "empty training sample")
     require(n < (1L << 35), s"fixed-point gradient headroom exceeded: $n rows")
+    // gradient-pass partitioning derives from the SAMPLE size, not the
+    // featurize parallelism: every task allocates and ships a dense
+    // (2^15+1)-long array, so a 32-task pass over a 1.5k-row sample pays
+    // 32 × 256 KB per iteration for microseconds of row work. A coalesced
+    // VIEW of the cache (no shuffle; featurize already ran at full
+    // parallelism into the cache during count) makes each of the `iters`
+    // jobs a few adequately-sized tasks. Gradients are commutative
+    // fixed-point longs — bitwise-identical at any partitioning.
+    val gradParts = math.max(1L, math.min(cachedFeats.getNumPartitions.toLong, n / 4096 + 1)).toInt
+    val feats = if (gradParts < cachedFeats.getNumPartitions)
+      cachedFeats.coalesce(gradParts) else cachedFeats
     val w = new Array[Double](Dim + 1)
     var it = 0
     while (it < iters) {
@@ -188,7 +199,7 @@ object QualityClassifier {
       }
       it += 1
     }
-    feats.unpersist()
+    cachedFeats.unpersist()
     Model(w)
   }
 
