@@ -441,48 +441,60 @@ object Dedup {
       .withColumn("rep", col("id")))
     var it = 0
     var lastChanged = -1L
-    while (it < maxIter && lastChanged != 0) {
+    var converged = false
+    while (it < maxIter && !converged) {
       // 1. each node adopts the smallest rep among itself and its neighbours.
       // The round's OWN previous label rides along as `prev` (each id has
       // exactly one labels row, so max() recovers it past the union with
-      // the prev-less neighbour rows) — convergence is then an observe()
-      // metric on the round's materialising action instead of a separate
-      // join+count job per round.
+      // the prev-less neighbour rows) — convergence is an observe() metric
+      // on the round's materialising action, measured AT THE HOOK: edges
+      // are symmetric, so hook-stability (min over self ∪ neighbours
+      // changes nothing) means rep(a) ≤ rep(b) across every edge in BOTH
+      // directions → rep equal across every edge → constant per component
+      // → converged, and the doubling step below would be the identity
+      // (the min id of a component is its own rep). Exiting here saves the
+      // final confirm round's doubling action outright.
       val idType = labels.schema("rep").dataType
       val viaNeighbour = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .select(col("a").as("id"), col("rep"), lit(null).cast(idType).as("prev"))
       // cut before the self-join below: hooked is referenced twice and an
       // un-materialised reference would recompute the join+agg per side
-      val hooked = cut(labels.withColumn("prev", col("rep")).unionByName(viaNeighbour)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("prev")).as("prev")))
-      // 2. pointer doubling: rep := rep's own rep (labels only ever
-      // decrease, and every rep value is an id in the table, so the inner
-      // join is total and monotone)
       val obs = org.apache.spark.sql.Observation()
-      val next = cut(hooked
-        .join(hooked.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"))
-        .select(col("id"), col("rep2").as("rep"), col("prev"))
+      val hooked = cut(labels.withColumn("prev", col("rep")).unionByName(viaNeighbour)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("prev")).as("prev"))
         .observe(obs, sum(when(col("rep") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
         .select(col("id"), col("rep")))
       // cut() was the action; the metric is already available (sum over
       // zero rows is null → converged/empty)
       lastChanged = obs.get.get("changed").flatMap(Option(_))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      // next is materialised — this round's hooked table and the previous
-      // labels are unreachable from any live plan
-      release(hooked)
-      release(labels)
-      labels = next
+      if (lastChanged == 0L) {
+        // hooked's rep == labels' rep — keep labels, drop the copy
+        release(hooked)
+        converged = true
+      } else {
+        // 2. pointer doubling: rep := rep's own rep (labels only ever
+        // decrease, and every rep value is an id in the table, so the inner
+        // join is total and monotone)
+        val next = cut(hooked
+          .join(hooked.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"))
+          .select(col("id"), col("rep2").as("rep")))
+        // next is materialised — this round's hooked table and the previous
+        // labels are unreachable from any live plan
+        release(hooked)
+        release(labels)
+        labels = next
+      }
       it += 1
     }
     // the final plan below references labels only
     release(edges)
-    if (lastChanged != 0)
+    if (!converged)
       org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
         s"nearDupClusters did NOT converge in $maxIter rounds " +
-          s"($lastChanged labels still changing) — components wider than " +
-          s"2^$maxIter hops are split; raise maxIter")
+          s"($lastChanged labels still changing at the last hook) — " +
+          s"components wider than 2^$maxIter hops are split; raise maxIter")
     // glue singletons (docs with no near-dup edge) back as their own rep;
     // the converged label table is tiny relative to the corpus, so AQE
     // turns this into a broadcast join at scale
