@@ -315,19 +315,23 @@ object Dedup {
     // partial aggregation, so a degenerate hot bucket — the exact
     // pathology the cap exists for — would concentrate its full membership
     // on one sort task BEFORE the width filter can drop it.
+    // a bucket with wb ≥ maxBucketWidth can never pass the combined cap
+    // (corpus width ≥ 1 for any pair), so filter the width table ONCE and
+    // share it between the probe semi join and the width inner join below:
+    // the two broadcast subplans are then identical, so one broadcast
+    // exchange is built and reused instead of two (the unfiltered width
+    // join was equivalent anyway — an over-cap row fails n + wb ≤ cap for
+    // every n ≥ 1).
     val bWidths = bBuckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__wb"))
-    // a bucket with wb ≥ maxBucketWidth can never pass the combined cap
-    // (corpus width ≥ 1 for any pair), so don't even probe it
-    val probeKeys = bWidths.filter(col("__wb") < maxBucketWidth)
-      .select("band", "bucket")
+      .filter(col("__wb") < maxBucketWidth)
     // ONE corpus pass: bounded_collect returns each probed bucket's exact
     // corpus width and (iff within the cap) its members — cap-bounded agg
     // state, no second scan, no window. The corpus is never shuffled when
     // the batch broadcasts (the width/member exchange carries ≤ one
     // cap-bounded row per probed bucket per partition).
     val cAgg = lshBucketsFromSigs(corpusSigs, idCol)
-      .join(bc(probeKeys), Seq("band", "bucket"), "left_semi")
+      .join(bc(bWidths), Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket"))
       .agg(graft.functions.BoundedCollectAgg
         .bounded_collect(col(idCol), maxBucketWidth).as("__s"))
