@@ -242,8 +242,13 @@ object CurationStore {
           .observe(obsCorpus, count(lit(1)).as("n"))
       else exact).persist(StorageLevel.MEMORY_AND_DISK)
       cached += afterCorpus
-      // 4. intra-batch, among the docs that survived the store check
+      // 4. intra-batch, among the docs that survived the store check.
+      // sigsAC is referenced THREE times by the intra-LSH plan (bucket
+      // branch + both signature joins) — persisted like its siblings so
+      // the semi join computes once (batch-scale, released in finally)
       val sigsAC = sigs.join(afterCorpus.select(col(idCol)), Seq(idCol), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += sigsAC
       val obsIntra = org.apache.spark.sql.Observation()
       val obsCurated = org.apache.spark.sql.Observation()
       val afterIntra = Dedup.dropNearDupsFromSigs(afterCorpus, sigsAC, idCol,
