@@ -1,0 +1,51 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Specs for the round-6 cache-hygiene utilities: release-after-action
+  * (DeferredRelease) and checkpoint-block release (CheckpointBridge).
+  */
+class DeferredReleaseSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def await(cond: => Boolean, ms: Long = 10000): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("DeferredRelease unpersists a cache after the NEXT action completes") {
+    val df = (1 to 100).toDF("v").persist()
+    df.count() // materialise
+    assert(df.storageLevel.useMemory, "cache is live before release")
+    DeferredRelease.afterNextAction(spark)(df.unpersist())
+    assert(df.storageLevel.useMemory,
+      "enqueueing must NOT release before an action runs")
+    // the consuming action (any action on the session)
+    spark.range(10).toDF("x").write.format("noop").mode("overwrite").save()
+    // listener bus is async — wait for the drain
+    assert(await(DeferredRelease.pendingCount == 0), "queue drains after the action")
+    assert(await(!df.storageLevel.useMemory), "cache released after the action")
+    // correctness after release: the plan recomputes
+    assert(df.count() == 100)
+  }
+
+  test("CheckpointBridge releases a superseded localCheckpoint's blocks") {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val cp = (1 to 50).toDF("v").localCheckpoint() // eager
+    val rdd = CheckpointBridge.checkpointRdd(cp)
+    assert(rdd.isDefined, "a localCheckpoint plan exposes its RDD")
+    val id = rdd.get.id
+    assert(spark.sparkContext.getPersistentRDDs.contains(id), "blocks pinned")
+    CheckpointBridge.releaseCheckpoint(cp)
+    assert(await(!spark.sparkContext.getPersistentRDDs.contains(id)),
+      "blocks released")
+    // non-checkpoint plans are a no-op
+    assert(CheckpointBridge.checkpointRdd((1 to 3).toDF("v")).isEmpty)
+  }
+}
