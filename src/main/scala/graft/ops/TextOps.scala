@@ -261,9 +261,26 @@ object TextOps {
     require(k >= 1 && m >= k, s"need m >= k >= 1: k=$k m=$m")
     val spark = df.sparkSession
     val grams = wordNgrams(df, textCol, n)
+    // total gram count rides the sketch pass as an observe() metric (zero
+    // extra jobs) to certify the exactness condition AT RUNTIME: MG
+    // undercounts by at most total/(m+1), so a sketched k-th count above
+    // that floor proves the true k-th gram also clears it and the
+    // candidate set covers the true top-k. Below the floor the output MAY
+    // be approximate — warn loudly instead of silently narrowing the
+    // documented exact contract (ADVICE round 5).
+    val obs = org.apache.spark.sql.Observation()
     val sketch = grams
+      .observe(obs, count(lit(1)).as("total"))
       .agg(graft.functions.MgSketchAgg.mg_sketch(col("gram"), m).as("s"))
       .head().getSeq[org.apache.spark.sql.Row](0)
+    val totalGrams = obs.get.get("total").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val floorBound = totalGrams / (m + 1).toLong
+    if (sketch.size >= k && sketch(k - 1).getLong(1) <= floorBound)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.TextOps").warn(
+        s"heavyHitterNgrams: exactness NOT certified — sketched k-th count " +
+          s"${sketch(k - 1).getLong(1)} <= totalGrams/(m+1) = $floorBound " +
+          s"(totalGrams=$totalGrams, m=$m, k=$k); the top-$k may be " +
+          "approximate on this distribution — raise m")
     val cands = sketch.map(_.getString(0))
     import spark.implicits._
     val candDf = cands.toDF("gram")
