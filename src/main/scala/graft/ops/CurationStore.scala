@@ -215,9 +215,10 @@ object CurationStore {
     //  - |batch| = Σ n_copies and |exact survivors| = |groups| (ids are
     //    unique by the store contract), so ONE aggregation over the
     //    exact-dup groups yields both;
-    //  - nAfterIntra / nCurated are observe() metrics on the single linear
-    //    chain the signature write materialises (each node is referenced
-    //    exactly once in that plan, so the metric is the row count).
+    //  - nAfterCorpus / nAfterIntra / nCurated are observe() metrics on
+    //    the chain the signature write materialises (single-reference
+    //    nodes count directly; the multi-referenced afterCorpus counts
+    //    exactly once through its persist's block-level locking).
     val groups = Dedup.exactDupGroups(batch, textCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val exact = batch
@@ -261,9 +262,9 @@ object CurationStore {
         TextOps.alnumRatio(col(textCol)) >= cfg.minAlnumRatio &&
           TextOps.tokenCount(col(textCol)).between(cfg.minTokens, cfg.maxTokens))
       // 6. survivors' signatures become the new committed batch partition.
-      // This write is the FIRST (and only-once, through the persist) full
-      // materialisation of afterIntra/curated — the two observe() metrics
-      // on that single-reference chain are their exact row counts.
+      // This write is the FIRST (and only-once, through the persists) full
+      // materialisation of the whole chain — the observe() metrics above
+      // and below are exact row counts.
       val curatedSigs = sigs
         .join(curated.observe(obsCurated, count(lit(1)).as("n"))
           .select(col(idCol)), Seq(idCol), "left_semi")
